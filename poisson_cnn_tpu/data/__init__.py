@@ -1,0 +1,12 @@
+from .sampling import (
+    GridSamplingConfig,
+    proportion_of_aspect_ratios_under_1,
+    sample_grid_shape,
+    sample_grid_spacings,
+)
+from .reverse import (
+    Normalizations,
+    ReverseConfig,
+    ReverseDataset,
+    generate_batch,
+)

@@ -1,0 +1,8 @@
+from .losses import (
+    mse_per_sample,
+    mae_per_sample,
+    integral_loss_per_sample,
+    physics_informed_loss,
+    LossConfig,
+    loss_wrapper,
+)
