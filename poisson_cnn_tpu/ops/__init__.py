@@ -29,6 +29,7 @@ from .smooth import (
     synthesize_series,
     laplacian_eigenvalue_factors,
 )
+from .resize import resize_matrix, resize_align_corners
 from .polynomial import (
     roots_to_coefficients,
     polynomial_derivative_coefficients,
