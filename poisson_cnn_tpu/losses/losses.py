@@ -93,7 +93,7 @@ def physics_informed_loss(
     return jnp.mean(sq)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class LossConfig:
     """Configuration for the bundled loss (reference `loss_wrapper.py:7-42`)."""
 

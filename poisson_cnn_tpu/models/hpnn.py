@@ -1,0 +1,200 @@
+"""HPNN — the homogeneous-BC Poisson solver network (flagship model).
+
+Capability parity with the reference's live HPNN
+(`poisson_CNN/models/Homogeneous_Poisson_NN_Legacy.py:11-257`; defaults follow
+`poisson_CNN/experiments/hpnn.json`):
+input [rhs (B,H,W,1), dx (B,1|2)] ->
+  cos(pi*x_hat) positional embeddings concat;
+  pre-bottleneck conv stack (symmetric padding);
+  parallel multi-resolution branches: deconv-upsample bottlenecks (small
+  downsampling factors) + resize-upsample bottlenecks (large factors) + one
+  non-bottleneck conv; branch-mean merge; post-merge conv + resnet;
+  dx-MLP channel modulation (einsum over channels);
+  final conv stack (channel-shrinking resnet pairs, then plain linear convs);
+  optional learned Scaling; BC enforcement by crop-and-repad (zero pad =
+  Dirichlet, symmetric pad = Neumann); optional Jacobi post-smoother.
+
+TPU-first: NHWC layout, static shapes per compile (variable grids = bucketed
+recompiles), bf16-friendly compute dtype, everything jit/vmap/grad-safe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import compute_domain_sizes, cos_position_embeddings
+from ..layers import (
+    BottleneckBlock,
+    JacobiIterationLayer,
+    PadConv,
+    ResNetBlock,
+    Scaling,
+)
+from ..utils import resolve_activation
+
+
+@dataclasses.dataclass(frozen=True)
+class HPNNConfig:
+    """Defaults mirror `experiments/hpnn.json` (downsized variants for tests)."""
+
+    pre_filters: Tuple[int, ...] = (4, 16, 32)
+    pre_kernel_sizes: Tuple[int, ...] = (15, 13, 11)
+    pre_padding_mode: str = "symmetric"
+    deconv_downsampling_factors: Tuple[int, ...] = (2, 3, 4, 8, 16)
+    deconv_kernel_sizes: Tuple[int, ...] = (2, 3, 4, 8, 16)
+    deconv_conv_kernel_sizes: Tuple[int, ...] = (11, 9, 7, 7, 7)
+    resize_downsampling_factors: Tuple[int, ...] = (32, 64, 128)
+    resize_conv_kernel_sizes: Tuple[int, ...] = (5, 5, 5)
+    resize_methods: Tuple[str, ...] = ("bicubic", "bilinear", "nearest")
+    bottleneck_filters: int = 32
+    bottleneck_n_convs: int = 3
+    bottleneck_use_resnet: bool = True
+    bottleneck_activation: str = "leaky_relu"
+    final_filters: Tuple[int, ...] = (32, 28, 24, 20, 16, 12, 8, 4, 1)
+    final_kernel_sizes: Tuple[int, ...] = (15, 13, 9, 7, 5, 3, 3, 3, 3)
+    final_regular_conv_stages: int = 2
+    final_activation: str = "leaky_relu"
+    dx_mlp_units: Tuple[int, ...] = (100, 100)
+    activation: str = "leaky_relu"
+    use_batchnorm: bool = False
+    use_positional_embeddings: bool = True
+    use_scaling: bool = False
+    postsmoother_iterations: int = 0
+    bc_type: str = "dirichlet"  # 'dirichlet' | 'neumann'
+    dtype: Optional[str] = None  # e.g. 'bfloat16' compute dtype
+
+    def __post_init__(self):
+        if self.bc_type not in ("dirichlet", "neumann"):
+            raise ValueError("bc_type must be dirichlet or neumann")
+
+
+class HPNN(nn.Module):
+    cfg: HPNNConfig = HPNNConfig()
+
+    @nn.compact
+    def __call__(self, rhs: jax.Array, dx: jax.Array, train: bool = False):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype) if cfg.dtype else rhs.dtype
+        act = cfg.activation
+        B, H, W, _ = rhs.shape
+        grid_shape = (H, W)
+        if dx.shape[-1] == 1:
+            dx2 = jnp.broadcast_to(dx, (B, 2))
+        else:
+            dx2 = dx
+        domain_sizes = compute_domain_sizes(dx2, grid_shape)
+
+        x = rhs.astype(dtype)
+        if cfg.use_positional_embeddings:
+            pos = cos_position_embeddings(grid_shape, dtype=dtype)
+            pos = jnp.broadcast_to(pos[None], (B,) + pos.shape)
+            x = jnp.concatenate([x, pos], axis=-1)
+
+        # pre-bottleneck conv stack
+        for f, k in zip(cfg.pre_filters, cfg.pre_kernel_sizes):
+            x = PadConv(f, k, act, cfg.pre_padding_mode, dtype=dtype)(x)
+            if cfg.use_batchnorm:
+                x = nn.BatchNorm(use_running_average=not train, dtype=dtype)(x)
+
+        # multi-resolution branches (skip factors too large for the grid)
+        branch_results = []
+        for ds, dk, ck in zip(
+            cfg.deconv_downsampling_factors,
+            cfg.deconv_kernel_sizes,
+            cfg.deconv_conv_kernel_sizes,
+        ):
+            if min(H, W) < 2 * ds:
+                continue
+            branch_results.append(
+                BottleneckBlock(
+                    downsampling_factor=ds,
+                    filters=cfg.bottleneck_filters,
+                    conv_kernel_size=ck,
+                    n_convs=cfg.bottleneck_n_convs,
+                    upsample_mode="deconv",
+                    deconv_kernel_size=dk,
+                    downsampling_method="pool",
+                    pool_downsampling_method="average",
+                    conv_activation=cfg.bottleneck_activation,
+                    use_resnet=cfg.bottleneck_use_resnet,
+                    use_batchnorm=cfg.use_batchnorm,
+                    padding_mode="symmetric",
+                )(x, train=train)
+            )
+        for ds, ck, rm in zip(
+            cfg.resize_downsampling_factors,
+            cfg.resize_conv_kernel_sizes,
+            cfg.resize_methods,
+        ):
+            if min(H, W) < 2 * ds:
+                continue
+            branch_results.append(
+                BottleneckBlock(
+                    downsampling_factor=ds,
+                    filters=cfg.bottleneck_filters,
+                    conv_kernel_size=ck,
+                    n_convs=cfg.bottleneck_n_convs,
+                    upsample_mode="resize",
+                    resize_method=rm,
+                    downsampling_method="pool",
+                    pool_downsampling_method="average",
+                    conv_activation=cfg.bottleneck_activation,
+                    use_resnet=cfg.bottleneck_use_resnet,
+                    use_batchnorm=cfg.use_batchnorm,
+                    padding_mode="constant",
+                )(x, train=train)
+            )
+        non_bottleneck = PadConv(cfg.bottleneck_filters, 5, "leaky_relu", dtype=dtype)(x)
+        if branch_results:
+            merged = sum(branch_results) / float(
+                len(branch_results) * cfg.bottleneck_filters
+            )
+        else:
+            merged = non_bottleneck
+        out = jnp.concatenate([non_bottleneck, merged], axis=-1)
+        out = PadConv(cfg.bottleneck_filters, 7, "leaky_relu", dtype=dtype)(out)
+        out = ResNetBlock(cfg.bottleneck_filters, 7, "leaky_relu", dtype=dtype)(
+            out, train=train
+        )
+
+        # dx-MLP channel modulation
+        dense_inp = jnp.concatenate([dx2, domain_sizes], axis=-1).astype(dtype)
+        h = dense_inp
+        for u in cfg.dx_mlp_units:
+            h = resolve_activation("leaky_relu")(nn.Dense(u, dtype=dtype)(h))
+        h = nn.Dense(cfg.bottleneck_filters, dtype=dtype)(h)  # linear
+        out = out * h[:, None, None, :]
+
+        # final conv stack
+        n_final = len(cfg.final_filters)
+        n_pairs = n_final - cfg.final_regular_conv_stages
+        for i in range(n_pairs):
+            f, k = cfg.final_filters[i], cfg.final_kernel_sizes[i]
+            out = PadConv(f, k, cfg.final_activation, dtype=dtype)(out)
+            out = ResNetBlock(f, k, cfg.final_activation, dtype=dtype)(out, train=train)
+        for i in range(n_pairs, n_final):
+            out = PadConv(
+                cfg.final_filters[i], cfg.final_kernel_sizes[i], "linear", dtype=dtype
+            )(out)
+
+        if cfg.use_scaling:
+            out = Scaling()(out, rhs.astype(dtype))
+
+        # BC enforcement: crop the border, re-pad (zero = Dirichlet, symmetric
+        # = Neumann) — `Homogeneous_Poisson_NN_Legacy.py:106-113,251`.
+        inner = out[:, 1:-1, 1:-1, :]
+        pad_mode = "constant" if cfg.bc_type == "dirichlet" else "symmetric"
+        if pad_mode == "constant":
+            out = jnp.pad(inner, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        else:
+            out = jnp.pad(inner, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="symmetric")
+
+        out = out.astype(rhs.dtype)
+        if cfg.postsmoother_iterations > 0:
+            out = JacobiIterationLayer(cfg.postsmoother_iterations)(out, rhs, dx2)
+        return out

@@ -1,0 +1,106 @@
+"""PCNN — the combined Poisson solver: superposition of the homogeneous-BC HPNN
+solve and four DBCNN Laplace solves (one per boundary edge).
+
+Capability parity with `poisson_CNN/models/Poisson_CNN_Legacy.py:15-51`:
+normalize rhs and each BC to unit peak magnitude; hpnn(rhs, dx) scaled by
+max_domain_size^2 / rhs_scale (undoing the generator's 1/L_max^2 + rhs-peak
+normalizations); dbcnn applied to each edge in a canonical orientation and
+mapped back with flips/transposes; the five fields summed; optional Jacobi
+smoothing against the true rhs.
+
+Edge conventions (this package): for fields (B, H, W, 1),
+left = u[:, 0, :, :], right = u[:, -1, :, :] (length W);
+top = u[:, :, 0, :], bottom = u[:, :, -1, :] (length H).
+DBCNN predicts with its BC at index 0 of axis 1; transposes/flips map that
+canonical frame onto each edge (verified by the BC-trace test).
+
+Zero-BC guard (improvement over the reference, which produces inf/NaN scaling
+factors for identically-zero edges): peaks are clamped so an all-zero edge
+contributes an exactly-zero field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import compute_domain_sizes, peak_magnitudes
+from ..layers import JacobiIterationLayer
+from .hpnn import HPNN, HPNNConfig
+from .dbcnn import DBCNN, DBCNNConfig
+
+
+def _safe_unit_normalize(arr: jax.Array):
+    """Scale each sample to unit peak, returning (normalized, peaks).
+
+    The caller multiplies the network output back by `peaks` (the reference's
+    1/scaling_factor, `Poisson_CNN_Legacy.py:30-45`); an all-zero sample keeps
+    peak = 0 so its field contributes exactly zero instead of the NaN the
+    reference produces from 0 * inf."""
+    peaks = peak_magnitudes(arr)
+    safe = jnp.where(peaks > 0, peaks, 1.0)
+    norm = arr / safe.reshape((-1,) + (1,) * (arr.ndim - 1))
+    return norm, peaks
+
+
+@dataclasses.dataclass(frozen=True)
+class PCNNConfig:
+    hpnn: HPNNConfig = HPNNConfig()
+    dbcnn: DBCNNConfig = DBCNNConfig()
+    jacobi_iterations: int = 0
+
+
+class PCNN(nn.Module):
+    cfg: PCNNConfig = PCNNConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        rhs: jax.Array,
+        left: jax.Array,
+        top: jax.Array,
+        right: jax.Array,
+        bottom: jax.Array,
+        dx: jax.Array,
+        train: bool = False,
+    ):
+        B, H, W, _ = rhs.shape
+        if dx.shape[-1] == 1:
+            dx2 = jnp.broadcast_to(dx, (B, 2))
+        else:
+            dx2 = dx
+        dx_swapped = dx2[:, ::-1]
+
+        rhs_n, rhs_peak = _safe_unit_normalize(rhs)
+        left_n, left_peak = _safe_unit_normalize(left)
+        top_n, top_peak = _safe_unit_normalize(top)
+        right_n, right_peak = _safe_unit_normalize(right)
+        bottom_n, bottom_peak = _safe_unit_normalize(bottom)
+
+        hpnn = HPNN(self.cfg.hpnn)
+        dbcnn = DBCNN(self.cfg.dbcnn)
+
+        L = compute_domain_sizes(dx2, (H, W))
+        hpnn_scale = jnp.max(L, axis=1) ** 2 * rhs_peak
+        u_h = hpnn(rhs_n, dx2, train=train) * hpnn_scale[:, None, None, None]
+
+        # left edge (i = 0): canonical orientation, no mapping needed
+        u_l = dbcnn(left_n, dx2, H, train=train) * left_peak[:, None, None, None]
+        # right edge (i = H-1): flip the perpendicular axis
+        u_r = dbcnn(right_n, dx2, H, train=train) * right_peak[:, None, None, None]
+        u_r = jnp.flip(u_r, axis=1)
+        # top edge (j = 0): predict in the transposed frame, swap axes back
+        u_t = dbcnn(top_n, dx_swapped, W, train=train) * top_peak[:, None, None, None]
+        u_t = jnp.swapaxes(u_t, 1, 2)
+        # bottom edge (j = W-1): transposed frame + flip
+        u_b = dbcnn(bottom_n, dx_swapped, W, train=train) * bottom_peak[:, None, None, None]
+        u_b = jnp.flip(jnp.swapaxes(u_b, 1, 2), axis=2)
+
+        pred = u_h + u_l + u_r + u_t + u_b
+        if self.cfg.jacobi_iterations > 0:
+            pred = JacobiIterationLayer(self.cfg.jacobi_iterations)(pred, rhs, dx2)
+        return pred

@@ -1,0 +1,8 @@
+from .train import (
+    TrainState,
+    create_mesh,
+    replicate_sharding,
+    batch_sharding,
+    make_generating_train_step,
+    make_eval_step,
+)

@@ -1,0 +1,184 @@
+"""Generic training loop: per-shape compiled steps, LR-on-plateau, NaN guard,
+orbax checkpointing.
+
+Replaces the reference's keras `fit` + callbacks stack
+(`train/hpnn_legacy_train.py:46-50`: ModelCheckpoint(save_best_only) /
+ReduceLROnPlateau(patience=4) / TerminateOnNaN) with an explicit loop:
+- per-batch grid shapes are sampled host-side and each distinct (bucketed)
+  shape gets its own compiled train step (XLA executable cache);
+- the learning rate lives in the optimizer state via optax.inject_hyperparams
+  so plateau reductions don't recompile;
+- checkpoints are orbax PyTree saves of {params, step} (dtype-flexible restore:
+  parameters are cast onto the target dtype on load, covering the reference's
+  cross-dtype checkpoint workaround in `train/utils.py:16-27`).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel import TrainState, make_generating_train_step, replicate_sharding
+from .config import TrainingConfig
+
+
+def make_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adam":
+        base = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate)
+    elif cfg.optimizer == "sgd":
+        base = optax.inject_hyperparams(optax.sgd)(learning_rate=cfg.learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer}")
+    return base
+
+
+def save_checkpoint(ckpt_dir: str, params, step: int):
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, {"params": jax.device_get(params), "step": step}, force=True)
+    return path
+
+
+def restore_checkpoint(path: str, like_params=None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    params = restored["params"]
+    if like_params is not None:
+        # dtype-flexible restore: cast onto the target tree's dtypes
+        params = jax.tree_util.tree_map(
+            lambda tgt, src: jnp.asarray(src, dtype=tgt.dtype), like_params, params
+        )
+    return params, restored.get("step", 0)
+
+
+class Trainer:
+    """Drives (sample shape) -> (jitted step for that shape) -> update.
+
+    Arguments:
+    - sample_shape: () -> static grid shape for the next batch
+    - make_step: (grid_shape, tx) -> jitted (state, key) -> (state, metrics)
+    - train_cfg: TrainingConfig
+    """
+
+    def __init__(
+        self,
+        params,
+        sample_shape: Callable[[], tuple],
+        make_step: Callable,
+        train_cfg: TrainingConfig,
+        checkpoint_dir: Optional[str] = None,
+        mesh=None,
+        log_every: int = 50,
+    ):
+        self.cfg = train_cfg
+        self.tx = make_optimizer(train_cfg)
+        self.sample_shape = sample_shape
+        self.make_step = make_step
+        self.checkpoint_dir = checkpoint_dir
+        self.mesh = mesh
+        self.log_every = log_every
+        self._steps = {}
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+        )
+        if mesh is not None:
+            state = jax.device_put(state, replicate_sharding(mesh))
+        self.state = state
+        self.key = jax.random.PRNGKey(train_cfg.seed)
+        self.best_loss = float("inf")
+        self.history = []
+
+    def _step_for(self, shape):
+        if shape not in self._steps:
+            self._steps[shape] = self.make_step(shape, self.tx)
+        return self._steps[shape]
+
+    def set_learning_rate(self, lr: float):
+        self.state = self.state.replace(
+            opt_state=_set_lr(self.state.opt_state, lr)
+        )
+
+    def current_learning_rate(self) -> float:
+        return float(_get_lr(self.state.opt_state))
+
+    def run(self):
+        cfg = self.cfg
+        plateau = 0
+        for epoch in range(cfg.n_epochs):
+            t0 = time.time()
+            epoch_losses = []
+            for it in range(cfg.steps_per_epoch):
+                shape = self.sample_shape()
+                step = self._step_for(shape)
+                self.key, sub = jax.random.split(self.key)
+                self.state, metrics = step(self.state, sub)
+                loss = float(metrics["loss"])
+                if not math.isfinite(loss):
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch} step {it}: {loss}"
+                    )
+                epoch_losses.append(loss)
+            mean_loss = float(np.mean(epoch_losses))
+            self.history.append(mean_loss)
+            dt = time.time() - t0
+            sps = cfg.steps_per_epoch / dt
+            print(
+                f"epoch {epoch}: loss={mean_loss:.6f} lr={self.current_learning_rate():.2e} "
+                f"({sps:.2f} steps/s, {len(self._steps)} compiled shapes)",
+                flush=True,
+            )
+            if mean_loss < self.best_loss:
+                self.best_loss = mean_loss
+                plateau = 0
+                if self.checkpoint_dir:
+                    save_checkpoint(
+                        self.checkpoint_dir, self.state.params, int(self.state.step)
+                    )
+            else:
+                plateau += 1
+                if plateau > cfg.reduce_lr_patience:
+                    new_lr = max(
+                        self.current_learning_rate() * cfg.reduce_lr_factor,
+                        cfg.min_learning_rate,
+                    )
+                    self.set_learning_rate(new_lr)
+                    plateau = 0
+        return self.state
+
+
+def _find_hyperparams(opt_state):
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    if isinstance(opt_state, (tuple, list)):
+        for s in opt_state:
+            found = _find_hyperparams(s)
+            if found is not None:
+                return found
+    return None
+
+
+def _get_lr(opt_state):
+    hp = _find_hyperparams(opt_state)
+    return hp.hyperparams["learning_rate"]
+
+
+def _set_lr(opt_state, lr: float):
+    hp = _find_hyperparams(opt_state)
+    hp.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=hp.hyperparams["learning_rate"].dtype
+    )
+    return opt_state

@@ -1,0 +1,211 @@
+"""Model tests: shape sweeps over variable grids, BC enforcement, gradient
+flow, overfit-a-tiny-batch trainability (SURVEY.md §4 strategy)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from poisson_cnn_tpu import losses, ops
+from poisson_cnn_tpu.models import (
+    DBCNN,
+    DBCNNConfig,
+    HPNN,
+    HPNNConfig,
+    PCNN,
+    PCNNConfig,
+    stable_sinh_modes,
+)
+
+
+SMALL_HPNN = HPNNConfig(
+    pre_filters=(4, 8),
+    pre_kernel_sizes=(7, 5),
+    deconv_downsampling_factors=(2, 4),
+    deconv_kernel_sizes=(2, 4),
+    deconv_conv_kernel_sizes=(5, 3),
+    resize_downsampling_factors=(8,),
+    resize_conv_kernel_sizes=(3,),
+    resize_methods=("bilinear",),
+    bottleneck_filters=8,
+    bottleneck_n_convs=1,
+    final_filters=(8, 4, 1),
+    final_kernel_sizes=(5, 3, 3),
+    dx_mlp_units=(16, 16),
+)
+
+SMALL_DBCNN = DBCNNConfig(
+    boundary_filters=(4, 8),
+    boundary_kernel_sizes=(7, 5),
+    spp_levels=(2, 3, 5),
+    mlp_units=(32, 16),
+    n_modes=8,
+    final_filters=(6, 3, 1),
+    final_kernel_sizes=(5, 3, 3),
+    final_regular_conv_stages=1,
+)
+
+
+def test_hpnn_forward_shapes_variable_grids():
+    model = HPNN(SMALL_HPNN)
+    dx = jnp.full((2, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((2, 48, 48, 1)), dx)
+    for shape in [(48, 48), (64, 40), (33, 57)]:
+        rhs = jnp.ones((2,) + shape + (1,))
+        out = model.apply(params, rhs, dx)
+        assert out.shape == rhs.shape, shape
+
+
+def test_hpnn_dirichlet_boundary_zero():
+    model = HPNN(SMALL_HPNN)
+    rhs = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 48, 1))
+    dx = jnp.full((2, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), rhs, dx)
+    out = model.apply(params, rhs, dx)
+    for sl in (out[:, 0], out[:, -1], out[:, :, 0], out[:, :, -1]):
+        np.testing.assert_allclose(np.asarray(sl), 0.0, atol=1e-6)
+
+
+def test_hpnn_neumann_boundary_mirrors_interior():
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL_HPNN, bc_type="neumann")
+    model = HPNN(cfg)
+    rhs = jax.random.normal(jax.random.PRNGKey(1), (1, 48, 48, 1))
+    dx = jnp.full((1, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), rhs, dx)
+    out = model.apply(params, rhs, dx)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(out[:, 1]), atol=1e-6)
+
+
+def test_hpnn_gradients_flow():
+    model = HPNN(SMALL_HPNN)
+    rhs = jax.random.normal(jax.random.PRNGKey(2), (2, 48, 48, 1))
+    dx = jnp.full((2, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), rhs, dx)
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, rhs, dx) ** 2))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+    nonzero = sum(float(jnp.abs(l).max()) > 0 for l in leaves)
+    assert nonzero > len(leaves) * 0.5
+
+
+def test_hpnn_overfits_tiny_batch():
+    """Trainability oracle: loss on one fixed batch decreases under adam."""
+    model = HPNN(SMALL_HPNN)
+    key = jax.random.PRNGKey(3)
+    B, n = 2, 48
+    dx = jnp.full((B, 1), 2.0 / (n - 1))
+    c = ops.random_series_coefficients(key, B, (3, 3))
+    L = ops.compute_domain_sizes(dx, (n, n))
+    soln = ops.synthesize_series(c, None, (n, n))[..., None]
+    rhs = ops.synthesize_series(
+        c * ops.laplacian_eigenvalue_factors(L, (3, 3)), None, (n, n)
+    )[..., None]
+    rhs, f = ops.set_max_magnitude_in_batch_and_return_scaling_factors(rhs, 1.0)
+    soln = soln * f[:, None, None, None]
+
+    params = model.init(jax.random.PRNGKey(0), rhs, dx)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            pred = model.apply(p, rhs, dx)
+            return jnp.mean((pred - soln) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses_seq = []
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state)
+        losses_seq.append(float(loss))
+    assert losses_seq[-1] < 0.5 * losses_seq[0], losses_seq[::10]
+
+
+def test_sinh_modes_stable_and_normalized():
+    s = stable_sinh_modes(64, 50)  # reference warns above 27 modes; we don't care
+    assert bool(jnp.isfinite(s).all())
+    np.testing.assert_allclose(np.asarray(jnp.abs(s).max(axis=1)), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s[:, -1]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s[:, 0]), -1.0, rtol=1e-5)
+
+
+def test_dbcnn_forward_and_bc_row():
+    model = DBCNN(SMALL_DBCNN)
+    bc = jax.random.normal(jax.random.PRNGKey(4), (2, 40, 1))
+    dx = jnp.full((2, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), bc, dx, 32)
+    out = model.apply(params, bc, dx, 32)
+    assert out.shape == (2, 32, 40, 1)
+    np.testing.assert_allclose(np.asarray(out[:, 0, :, :]), np.asarray(bc), atol=1e-6)
+    # variable output resolution
+    out2 = model.apply(params, bc, dx, 48)
+    assert out2.shape == (2, 48, 40, 1)
+
+
+def test_pcnn_superposition_bc_traces():
+    """Each boundary of the combined prediction reproduces its BC (the other
+    four fields vanish there only approximately, so check the dominant terms:
+    with rhs=0 and a single nonzero edge, the trace must equal that edge's BC)."""
+    cfg = PCNNConfig(hpnn=SMALL_HPNN, dbcnn=SMALL_DBCNN)
+    model = PCNN(cfg)
+    B, H, W = 1, 48, 40
+    rhs = jnp.zeros((B, H, W, 1))
+    dx = jnp.full((B, 1), 0.02)
+    zeros_w = jnp.zeros((B, W, 1))
+    zeros_h = jnp.zeros((B, H, 1))
+    left = jax.random.normal(jax.random.PRNGKey(5), (B, W, 1))
+    params = model.init(
+        jax.random.PRNGKey(0), rhs, left, zeros_h, zeros_w, zeros_h, dx
+    )
+
+    out = model.apply(params, rhs, left, zeros_h, zeros_w, zeros_h, dx)
+    assert out.shape == rhs.shape
+    # hpnn on rhs=0 still outputs something small but nonzero; dominant check:
+    # left trace should correlate strongly with the left bc
+    trace = np.asarray(out[:, 0, :, 0])
+    bc = np.asarray(left[:, :, 0])
+    corr = np.corrcoef(trace.ravel(), bc.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    # top edge: feed top bc only, check trace at j=0
+    top = jax.random.normal(jax.random.PRNGKey(6), (B, H, 1))
+    out_t = model.apply(params, rhs, zeros_w, top, zeros_w, zeros_h, dx)
+    corr_t = np.corrcoef(
+        np.asarray(out_t[:, :, 0, 0]).ravel(), np.asarray(top[:, :, 0]).ravel()
+    )[0, 1]
+    assert corr_t > 0.99, corr_t
+
+    # right edge
+    right = jax.random.normal(jax.random.PRNGKey(7), (B, W, 1))
+    out_r = model.apply(params, rhs, zeros_w, zeros_h, right, zeros_h, dx)
+    corr_r = np.corrcoef(
+        np.asarray(out_r[:, -1, :, 0]).ravel(), np.asarray(right[:, :, 0]).ravel()
+    )[0, 1]
+    assert corr_r > 0.99, corr_r
+
+    # bottom edge
+    bottom = jax.random.normal(jax.random.PRNGKey(8), (B, H, 1))
+    out_b = model.apply(params, rhs, zeros_w, zeros_h, zeros_w, bottom, dx)
+    corr_b = np.corrcoef(
+        np.asarray(out_b[:, :, -1, 0]).ravel(), np.asarray(bottom[:, :, 0]).ravel()
+    )[0, 1]
+    assert corr_b > 0.99, corr_b
+
+
+def test_pcnn_zero_bcs_no_nan():
+    """All-zero BCs must produce finite output (reference would NaN here)."""
+    cfg = PCNNConfig(hpnn=SMALL_HPNN, dbcnn=SMALL_DBCNN)
+    model = PCNN(cfg)
+    B, H, W = 1, 48, 40
+    rhs = jax.random.normal(jax.random.PRNGKey(9), (B, H, W, 1))
+    dx = jnp.full((B, 1), 0.02)
+    z_w, z_h = jnp.zeros((B, W, 1)), jnp.zeros((B, H, 1))
+    params = model.init(jax.random.PRNGKey(0), rhs, z_w, z_h, z_w, z_h, dx)
+    out = model.apply(params, rhs, z_w, z_h, z_w, z_h, dx)
+    assert bool(jnp.isfinite(out).all())

@@ -1,0 +1,169 @@
+"""Training-subsystem tests: config parsing, the CLI end-to-end on tiny
+configs (loss decreases), checkpoint save/restore round trip, DP mesh step,
+numerical data mode, LR plateau mechanics."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from poisson_cnn_tpu import ops
+from poisson_cnn_tpu.data import GridSamplingConfig
+from poisson_cnn_tpu.data.numerical import NumericalConfig, generate_numerical_batch
+from poisson_cnn_tpu.train import load_experiment
+from poisson_cnn_tpu.train.loop import restore_checkpoint, save_checkpoint
+
+
+TINY_HPNN_EXPERIMENT = {
+    "model": {
+        "type": "hpnn",
+        "pre_filters": [4, 8],
+        "pre_kernel_sizes": [7, 5],
+        "deconv_downsampling_factors": [2, 4],
+        "deconv_kernel_sizes": [2, 4],
+        "deconv_conv_kernel_sizes": [5, 3],
+        "resize_downsampling_factors": [8],
+        "resize_conv_kernel_sizes": [3],
+        "resize_methods": ["bilinear"],
+        "bottleneck_filters": 8,
+        "bottleneck_n_convs": 1,
+        "final_filters": [8, 4, 1],
+        "final_kernel_sizes": [5, 3, 3],
+        "dx_mlp_units": [16, 16],
+    },
+    "dataset": {
+        "type": "reverse",
+        "batch_size": 4,
+        "grids": {
+            "shape_range": [[32, 48], [32, 48]],
+            "dx_range": [0.01, 0.05],
+            "snap": 16,
+        },
+        "fourier_mode_range": [1, 4],
+        "taylor_degree_range": [2, 4],
+        "normalizations": {"rhs_max_magnitude": 1.0},
+    },
+    "training": {
+        "n_epochs": 3,
+        "steps_per_epoch": 8,
+        "learning_rate": 1e-3,
+        "loss": {"mse_weight": 1.0, "mae_weight": 0.0, "integral_weight": 0.0},
+    },
+}
+
+
+def _write_cfg(tmp_path, payload):
+    path = os.path.join(tmp_path, "cfg.json")
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    return path
+
+
+def test_load_experiment_roundtrip(tmp_path):
+    path = _write_cfg(str(tmp_path), TINY_HPNN_EXPERIMENT)
+    model_cfg, data_cfg, train_cfg = load_experiment(path)
+    assert model_cfg.pre_filters == (4, 8)
+    assert data_cfg.grids.snap == 16
+    assert train_cfg.loss.mse_weight == 1.0
+    # configs must be hashable (static jit args)
+    hash(model_cfg), hash(data_cfg)
+
+
+def test_load_experiment_rejects_unknown_fields(tmp_path):
+    bad = json.loads(json.dumps(TINY_HPNN_EXPERIMENT))
+    bad["model"]["no_such_field"] = 1
+    path = _write_cfg(str(tmp_path), bad)
+    with pytest.raises(ValueError, match="no_such_field"):
+        load_experiment(path)
+
+
+def test_hpnn_cli_end_to_end(tmp_path):
+    """Full CLI path on a tiny config: training runs, loss decreases, best
+    checkpoint is written."""
+    from poisson_cnn_tpu.train.hpnn_train import main
+
+    cfg_path = _write_cfg(str(tmp_path), TINY_HPNN_EXPERIMENT)
+    ckpt_dir = os.path.join(str(tmp_path), "ckpt")
+    trainer, state = main([cfg_path, "--checkpoint_dir", ckpt_dir])
+    assert trainer.history[-1] < trainer.history[0]
+    assert os.path.isdir(ckpt_dir) and len(os.listdir(ckpt_dir)) >= 1
+
+
+def test_checkpoint_roundtrip_and_dtype_cast(tmp_path):
+    params = {"w": jnp.arange(4.0), "b": jnp.zeros((2,))}
+    path = save_checkpoint(str(tmp_path / "ck"), params, 7)
+    like = {"w": jnp.zeros(4, jnp.bfloat16), "b": jnp.zeros((2,), jnp.bfloat16)}
+    restored, step = restore_checkpoint(path, like)
+    assert step == 7
+    assert restored["w"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(restored["w"], np.float32), [0, 1, 2, 3])
+
+
+def test_numerical_batch_ground_truth_satisfies_bcs():
+    cfg = NumericalConfig(
+        batch_size=3,
+        grids=GridSamplingConfig(((32, 48), (32, 48)), (0.01, 0.05)),
+        rhs="zero",
+        nonzero_boundaries=("left",),
+    )
+    batch = generate_numerical_batch(jax.random.PRNGKey(0), cfg, (40, 32))
+    soln, b = batch["soln"], batch["boundaries"]
+    np.testing.assert_allclose(
+        np.asarray(soln[:, 0, :, :]), np.asarray(b["left"]), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(soln[:, -1, :, :]), 0.0, atol=1e-5)
+    # interior satisfies laplace eq: residual small relative to field scale
+    lap = ops.apply_fd_operator(soln, batch["dx"], 3, 2)
+    assert float(jnp.abs(lap).max()) < 1e-2 * float(
+        jnp.abs(batch["dx"]).min() ** -2
+    )
+
+
+def test_numerical_batch_full_bcs_and_rhs():
+    cfg = NumericalConfig(
+        batch_size=2,
+        grids=GridSamplingConfig(((32, 48), (32, 48)), (0.01, 0.05)),
+        rhs="random",
+        nonzero_boundaries=("left", "right", "top", "bottom"),
+    )
+    batch = generate_numerical_batch(jax.random.PRNGKey(1), cfg, (32, 32))
+    soln, b = batch["soln"], batch["boundaries"]
+    for name, sl in [
+        ("left", soln[:, 0, :, :]),
+        ("right", soln[:, -1, :, :]),
+        ("top", soln[:, :, 0, :]),
+        ("bottom", soln[:, :, -1, :]),
+    ]:
+        got = np.asarray(sl)
+        want = np.asarray(b[name])
+        # corners belong to two edges; compare away from corners
+        np.testing.assert_allclose(got[:, 2:-2], want[:, 2:-2], atol=1e-4)
+
+
+def test_lr_plateau_mechanics(tmp_path):
+    from poisson_cnn_tpu.train.loop import Trainer, _get_lr
+    from poisson_cnn_tpu.train.config import TrainingConfig
+    import optax
+
+    cfg = TrainingConfig(n_epochs=1, steps_per_epoch=1, learning_rate=1e-3,
+                         reduce_lr_patience=0, reduce_lr_factor=0.1)
+
+    params = {"w": jnp.ones(3)}
+
+    def make_step(shape, tx):
+        def step(state, key):
+            grads = {"w": jnp.ones(3)}
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=new_params,
+                                 opt_state=opt_state), {"loss": jnp.asarray(1.0)}
+        return step
+
+    tr = Trainer(params, lambda: (8, 8), make_step, cfg)
+    assert tr.current_learning_rate() == pytest.approx(1e-3)
+    tr.set_learning_rate(5e-4)
+    assert tr.current_learning_rate() == pytest.approx(5e-4)
