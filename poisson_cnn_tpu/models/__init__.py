@@ -1,3 +1,13 @@
 from .hpnn import HPNN, HPNNConfig
 from .dbcnn import DBCNN, DBCNNConfig, stable_sinh_modes
 from .pcnn import PCNN, PCNNConfig
+from .unet import UNet, UNetConfig, ConvBlock
+from .pix2pix import Pix2PixGenerator, Pix2PixConfig
+from .dbc_rnn import DBCRNN, DBCRNNConfig
+from .autoencoder import FourierAutoencoderHPNN, FourierAutoencoderConfig
+from .metalearning_models import (
+    MetaHPNN,
+    MetaHPNNConfig,
+    MetaDBCNN,
+    MetaDBCNNConfig,
+)

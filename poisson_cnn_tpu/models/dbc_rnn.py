@@ -1,0 +1,55 @@
+"""DBC-RNN: recurrent boundary-to-interior network.
+
+Capability parity with `poisson_CNN/models/Dirichlet_BC_RNN.py:7-77` (trained by
+`train/dbcnn_rnn_train.py`, config `experiments/dbcnn_rnn.json`: 6 x 100-unit
+LSTM): an LSTM/GRU stack scans along the boundary curve, the per-position
+hidden features are expanded into a strip of x-direction profiles, and the
+strip is bicubic-upsampled to the target 2-D shape. Recurrence uses flax's
+nn.RNN (lax.scan under the hood — static-shape, TPU-compatible).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..layers import Upsample
+
+
+@dataclasses.dataclass(frozen=True)
+class DBCRNNConfig:
+    hidden_size: int = 100
+    n_layers: int = 6
+    cell: str = "lstm"  # 'lstm' | 'gru'
+    strip_width: int = 16  # x-profiles emitted per boundary position
+    resize_method: str = "bicubic"
+    dtype: Optional[str] = None
+
+
+class DBCRNN(nn.Module):
+    cfg: DBCRNNConfig = DBCRNNConfig()
+
+    @nn.compact
+    def __call__(self, bc: jax.Array, dx: jax.Array, x_output_resolution: int,
+                 train: bool = False):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype) if cfg.dtype else bc.dtype
+        B, W, C = bc.shape
+        h = bc.astype(dtype)
+        for _ in range(cfg.n_layers):
+            cell = (
+                nn.OptimizedLSTMCell(cfg.hidden_size, dtype=dtype)
+                if cfg.cell == "lstm"
+                else nn.GRUCell(cfg.hidden_size, dtype=dtype)
+            )
+            h = nn.RNN(cell)(h)  # (B, W, hidden)
+        strip = nn.Dense(cfg.strip_width, dtype=dtype)(h)  # (B, W, strip)
+        strip = jnp.swapaxes(strip, 1, 2)[..., None]  # (B, strip, W, 1)
+        out = Upsample(cfg.resize_method)(strip, (int(x_output_resolution), W))
+        out = out.astype(bc.dtype)
+        # re-impose the boundary row like the DBCNN
+        return jnp.concatenate([bc[:, None, :, :], out[:, 1:, :, :]], axis=1)
