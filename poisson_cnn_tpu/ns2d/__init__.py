@@ -1,0 +1,22 @@
+from .mesh import MACGrid, Problem, taylor_vortex, driven_cavity
+from .operators import (
+    complete_u,
+    complete_v,
+    convection,
+    divergence,
+    grad_p_faces,
+    laplacian_u,
+    laplacian_v,
+    helmholtz_solve_u,
+    helmholtz_solve_v,
+)
+from .stepper import (
+    NSConfig,
+    cg_pressure_solver,
+    cnn_pressure_initializer,
+    dct_pressure_solver,
+    initial_state,
+    make_stepper,
+    run,
+)
+from .errors import velocity_error, pressure_error, convergence_rates

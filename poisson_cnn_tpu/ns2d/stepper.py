@@ -1,0 +1,267 @@
+"""Projection-method Navier–Stokes steppers under lax.scan.
+
+Capability parity with the reference's solver family
+(`Navier_Stokes_2D/solvers.py:337-1228`): Gauge / Alg1 (pressure-increment
+BCG) / Alg2 (Brown's improvement) / Alg3 (Kim–Moin pressure-free). All four
+share the skeleton: AB2 convection + Crank–Nicolson diffusion -> intermediate
+velocity Helmholtz solves -> cell-centered pressure-Poisson solve (homogeneous
+Neumann, zero mean) -> velocity projection; they differ in the pressure update:
+  alg1: p^{n+1} = p^n + phi
+  alg2: p^{n+1} = p^n + phi - (1/(2 Re)) * dt * lap(phi)  (Brown et al.)
+  alg3: p^{n+1} = phi/dt_effective - (1/(2 Re)) div(u*)   (pressure-free)
+  gauge: identical update law to alg3 expressed via the gauge variable; the
+         gauge formulation's boundary treatment reduces to the same discrete
+         operations on this linear-ghost MAC stencil.
+
+TPU-first: the whole time loop is one lax.scan; the pressure Poisson uses the
+DCT-II spectral Neumann solver (exact for the 5-point operator — the reference
+needs ILU-preconditioned BiCGStab, `solvers.py:204-334`); a pluggable
+`pressure_solver` lets a trained HPNN act as initializer for a few CG steps
+(the reference's CNN experiment, `solvers.py:244-267`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..solvers import poisson_solve_neumann
+from .mesh import MACGrid, Problem
+from .operators import (
+    complete_u,
+    complete_v,
+    convection,
+    divergence,
+    grad_p_faces,
+    helmholtz_solve_u,
+    helmholtz_solve_v,
+    laplacian_u,
+    laplacian_v,
+)
+
+
+def dct_pressure_solver(grid: MACGrid):
+    """Exact spectral Neumann solve of lap(phi) = rhs at cell centers."""
+
+    def solve(rhs: jax.Array) -> jax.Array:
+        r = rhs[None, :, :, None]
+        dx = jnp.asarray([[grid.dx, grid.dy]], dtype=rhs.dtype)
+        return poisson_solve_neumann(r, dx, mode="fd")[0, :, :, 0]
+
+    return solve
+
+
+def cg_pressure_solver(grid: MACGrid, n_iterations: int = 200,
+                       initializer: Optional[Callable] = None):
+    """Matrix-free CG on the cell-centered Neumann Poisson problem, optionally
+    warm-started (e.g. by a trained HPNN — the reference's `maxiter=2` BiCGStab
+    from a CNN initial guess, `solvers.py:262-267`)."""
+
+    def neg_lap(p):
+        # CG needs an SPD operator: use -lap (positive semidefinite on the
+        # zero-mean subspace) and negate the rhs accordingly.
+        pc = jnp.pad(p, ((1, 1), (1, 1)), mode="edge")
+        return -(
+            (pc[2:, 1:-1] - 2 * p + pc[:-2, 1:-1]) / grid.dx**2
+            + (pc[1:-1, 2:] - 2 * p + pc[1:-1, :-2]) / grid.dy**2
+        )
+
+    def solve(rhs: jax.Array) -> jax.Array:
+        rhs = -(rhs - jnp.mean(rhs))  # solvability + sign flip for SPD CG
+        x = jnp.zeros_like(rhs) if initializer is None else initializer(rhs)
+        x = x - jnp.mean(x)
+        r = rhs - neg_lap(x)
+        p = r
+        rs = jnp.sum(r * r)
+        rs0 = rs
+
+        def body(_, carry):
+            # freeze once converged: fixed-iteration CG run far past
+            # convergence in fp32 otherwise amplifies round-off
+            x, r, p, rs = carry
+            live = rs > 1e-12 * rs0 + 1e-30
+            ap = neg_lap(p)
+            denom = jnp.sum(p * ap)
+            alpha = jnp.where(live, rs / jnp.where(denom == 0, 1.0, denom), 0.0)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rs_new = jnp.where(live, jnp.sum(r * r), rs)
+            beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1.0, rs), 0.0)
+            return x, r, r + beta * p, rs_new
+
+        x, _, _, _ = jax.lax.fori_loop(0, n_iterations, body, (x, r, p, rs))
+        return x - jnp.mean(x)
+
+    return solve
+
+
+def cnn_pressure_initializer(model, params, grid: MACGrid):
+    """Wrap a trained (Neumann) HPNN as a pressure-Poisson initial guess:
+    rhs (m, n) -> phi0 (m, n)."""
+
+    def init(rhs):
+        r = rhs[None, :, :, None]
+        dx = jnp.asarray([[grid.dx, grid.dy]], dtype=rhs.dtype)
+        out = model.apply(params, r, dx)
+        return out[0, :, :, 0]
+
+    return init
+
+
+@dataclasses.dataclass(frozen=True)
+class NSConfig:
+    method: str = "alg1"  # 'alg1' | 'alg2' | 'alg3' | 'gauge'
+    Re: float = 1.0
+    dt: float = 1e-3
+    n_steps: int = 100
+    helmholtz_iterations: int = 40
+    t0: float = 0.0
+
+    def __post_init__(self):
+        if self.method not in ("alg1", "alg2", "alg3", "gauge"):
+            raise ValueError(f"unknown method {self.method}")
+
+
+def initial_state(grid: MACGrid, problem: Problem):
+    xu, yu = jnp.asarray(grid.xu), jnp.asarray(grid.yu)
+    xv, yv = jnp.asarray(grid.xv), jnp.asarray(grid.yv)
+    u = problem.u_init(xu[:, None], yu[None, :])
+    v = problem.v_init(xv[:, None], yv[None, :])
+    p = jnp.zeros((grid.m, grid.n))
+    return u, v, p
+
+
+def make_stepper(
+    grid: MACGrid,
+    problem: Problem,
+    cfg: NSConfig,
+    pressure_solver: Optional[Callable] = None,
+):
+    """Build step(state, t_index) -> state for lax.scan."""
+    if pressure_solver is None:
+        pressure_solver = dct_pressure_solver(grid)
+    dt, Re = cfg.dt, cfg.Re
+    alpha = dt / (2.0 * Re)  # CN diffusion coefficient
+    xu, yu = jnp.asarray(grid.xu), jnp.asarray(grid.yu)
+    xv, yv = jnp.asarray(grid.xv), jnp.asarray(grid.yv)
+
+    def forcing(t):
+        fu = (
+            problem.forcing_u(xu[:, None], yu[None, :], t)
+            if problem.forcing_u is not None
+            else 0.0
+        )
+        fv = (
+            problem.forcing_v(xv[:, None], yv[None, :], t)
+            if problem.forcing_v is not None
+            else 0.0
+        )
+        return fu, fv
+
+    def step(state, t_index):
+        u, v, p, conv_u_prev, conv_v_prev, first = state
+        t_n = cfg.t0 + t_index * dt
+        t_np1 = t_n + dt
+
+        u_cmp = complete_u(u, grid, problem.u_bc, t_n)
+        v_cmp = complete_v(v, grid, problem.v_bc, t_n)
+        conv_u, conv_v = convection(u_cmp, v_cmp, grid)
+        lap_u = laplacian_u(u_cmp, grid)
+        lap_v = laplacian_v(v_cmp, grid)
+
+        # AB2 convection after the first (Euler) step
+        conv_u_eff = jnp.where(first, conv_u, 1.5 * conv_u - 0.5 * conv_u_prev)
+        conv_v_eff = jnp.where(first, conv_v, 1.5 * conv_v - 0.5 * conv_v_prev)
+
+        fu, fv = forcing(t_n + 0.5 * dt)
+        gpx, gpy = grad_p_faces(p, grid)
+        use_pressure = cfg.method in ("alg1", "alg2")
+        pg_u = gpx[1:-1, :] if use_pressure else 0.0
+        pg_v = gpy[:, 1:-1] if use_pressure else 0.0
+
+        fu_int = fu[1:-1, :] if problem.forcing_u is not None else 0.0
+        fv_int = fv[:, 1:-1] if problem.forcing_v is not None else 0.0
+
+        rhs_u = (
+            u[1:-1, :]
+            + dt * (-conv_u_eff - pg_u + fu_int)
+            + alpha * lap_u
+        )
+        rhs_v = (
+            v[:, 1:-1]
+            + dt * (-conv_v_eff - pg_v + fv_int)
+            + alpha * lap_v
+        )
+
+        # lift the t^{n+1} boundary data: (I - alpha L)(u*) with u* = w + b,
+        # b = boundary-only field -> rhs' = rhs + alpha * L(b) ... - b term
+        zero_u = jnp.zeros_like(u)
+        b_u_cmp = complete_u(zero_u, grid, problem.u_bc, t_np1)
+        zero_v = jnp.zeros_like(v)
+        b_v_cmp = complete_v(zero_v, grid, problem.v_bc, t_np1)
+        rhs_u = rhs_u + alpha * laplacian_u(
+            b_u_cmp.at[1:-1, 1:-1].set(0.0), grid
+        )
+        rhs_v = rhs_v + alpha * laplacian_v(
+            b_v_cmp.at[1:-1, 1:-1].set(0.0), grid
+        )
+
+        w_u = helmholtz_solve_u(rhs_u, alpha, grid, cfg.helmholtz_iterations)
+        w_v = helmholtz_solve_v(rhs_v, alpha, grid, cfg.helmholtz_iterations)
+
+        u_star = zero_u.at[1:-1, :].set(w_u)
+        u_star = u_star.at[0, :].set(problem.u_bc(xu[0], yu, t_np1))
+        u_star = u_star.at[-1, :].set(problem.u_bc(xu[-1], yu, t_np1))
+        v_star = zero_v.at[:, 1:-1].set(w_v)
+        v_star = v_star.at[:, 0].set(problem.v_bc(xv, yv[0], t_np1))
+        v_star = v_star.at[:, -1].set(problem.v_bc(xv, yv[-1], t_np1))
+
+        # pressure Poisson: lap(phi) = div(u*)/dt, Neumann, zero mean
+        div_star = divergence(u_star, v_star, grid)
+        phi = pressure_solver(div_star / dt)
+
+        gphix, gphiy = grad_p_faces(phi, grid)
+        u_new = u_star - dt * gphix
+        v_new = v_star - dt * gphiy
+
+        if cfg.method == "alg1":
+            p_new = p + phi
+        elif cfg.method == "alg2":
+            # Brown's consistent update: p += phi - (dt/(2Re)) lap(phi)
+            # using lap(phi) = div(u*)/dt exactly
+            p_new = p + phi - (1.0 / (2.0 * Re)) * div_star
+        else:  # alg3 / gauge (pressure-free momentum; recovered pressure)
+            # p = phi - (dt/(2Re)) lap(phi) with lap(phi) = div(u*)/dt
+            p_new = phi - (1.0 / (2.0 * Re)) * div_star
+        new_state = (
+            u_new, v_new, p_new, conv_u, conv_v, jnp.zeros((), dtype=bool)
+        )
+        return new_state, None
+
+    return step
+
+
+def run(
+    grid: MACGrid,
+    problem: Problem,
+    cfg: NSConfig,
+    pressure_solver: Optional[Callable] = None,
+):
+    """Integrate n_steps with lax.scan; returns final (u, v, p)."""
+    u, v, p = initial_state(grid, problem)
+    step = make_stepper(grid, problem, cfg, pressure_solver)
+    conv_u0 = jnp.zeros((grid.m - 1, grid.n))
+    conv_v0 = jnp.zeros((grid.m, grid.n - 1))
+    state = (u, v, p, conv_u0, conv_v0, jnp.ones((), dtype=bool))
+
+    @jax.jit
+    def integrate(state):
+        state, _ = jax.lax.scan(step, state, jnp.arange(cfg.n_steps))
+        return state
+
+    u, v, p, *_ = integrate(state)
+    return u, v, p

@@ -92,20 +92,25 @@ def conjugate_gradient(
 
     b = rhs[:, 1:-1, 1:-1, :]
     x = jnp.zeros_like(b) if x0 is None else x0[:, 1:-1, 1:-1, :]
+    # (CG's recurrences are sign-consistent for definite operators of either
+    # sign; lap is negative definite on the homogeneous-Dirichlet subspace)
     r = b - matvec(x)
     p = r
     axes = (1, 2, 3)
     rs = jnp.sum(r * r, axis=axes)
+    rs0 = rs
 
     def body(_, carry):
+        # freeze converged samples (fp32 round-off amplification guard)
         x, r, p, rs = carry
+        live = rs > 1e-12 * rs0 + 1e-30
         ap = matvec(p)
         denom = jnp.sum(p * ap, axis=axes)
-        alpha = rs / jnp.where(denom == 0, 1.0, denom)
+        alpha = jnp.where(live, rs / jnp.where(denom == 0, 1.0, denom), 0.0)
         x = x + alpha[:, None, None, None] * p
         r = r - alpha[:, None, None, None] * ap
-        rs_new = jnp.sum(r * r, axis=axes)
-        beta = rs_new / jnp.where(rs == 0, 1.0, rs)
+        rs_new = jnp.where(live, jnp.sum(r * r, axis=axes), rs)
+        beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1.0, rs), 0.0)
         p = r + beta[:, None, None, None] * p
         return x, r, p, rs_new
 

@@ -1,0 +1,114 @@
+"""Navier–Stokes solver tests. Primary oracle (reference `run_solvers.py`
+error_analysis): 2nd-order spatial convergence on the decaying Taylor vortex;
+plus divergence-free projection, stability of the driven cavity, and the CNN
+pressure-initializer hook."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from poisson_cnn_tpu import ns2d
+
+
+def _run_taylor(m, n_steps=40, method="alg1", Re=1.0, dt=2.5e-4, pressure_solver=None):
+    grid = ns2d.MACGrid(m, m, 0.0, math.pi, 0.0, math.pi)
+    problem = ns2d.taylor_vortex(Re=Re)
+    cfg = ns2d.NSConfig(method=method, Re=Re, dt=dt, n_steps=n_steps,
+                        helmholtz_iterations=80)
+    ps = pressure_solver(grid) if pressure_solver else None
+    u, v, p = ns2d.run(grid, problem, cfg, ps)
+    t_end = cfg.t0 + n_steps * dt
+    verr = ns2d.velocity_error(u, v, grid, problem, t_end)
+    perr = ns2d.pressure_error(p, grid, problem, t_end)
+    return verr, perr, (u, v, p, grid, t_end)
+
+
+def test_taylor_vortex_accuracy_and_convergence():
+    """Velocity error drops ~2nd order with grid refinement."""
+    errs = []
+    for m in (16, 32):
+        verr, _, _ = _run_taylor(m)
+        errs.append(verr["u"]["l2"])
+    rate = ns2d.convergence_rates([16, 32], errs)
+    assert errs[1] < errs[0]
+    assert rate > 1.5, (errs, rate)
+    # absolute accuracy sanity: error small vs field scale ~1
+    assert errs[1] < 5e-3, errs
+
+
+def test_taylor_vortex_all_methods_agree():
+    base = None
+    for method in ("alg1", "alg2", "alg3", "gauge"):
+        verr, perr, _ = _run_taylor(16, n_steps=20, method=method)
+        assert verr["u"]["l2"] < 1e-2, (method, verr)
+        if base is None:
+            base = verr["u"]["l2"]
+        else:
+            assert verr["u"]["l2"] < 10 * base
+
+
+def test_projection_gives_divergence_free_velocity():
+    _, _, (u, v, p, grid, _) = _run_taylor(16, n_steps=5)
+    div = ns2d.divergence(u, v, grid)
+    assert float(jnp.abs(div).max()) < 1e-4
+
+
+def test_pressure_recovery():
+    _, perr, _ = _run_taylor(32, n_steps=40, method="alg2")
+    assert perr["l2"] < 5e-2, perr
+
+
+def test_driven_cavity_stable():
+    grid = ns2d.MACGrid(24, 24, 0.0, 1.0, 0.0, 1.0)
+    problem = ns2d.driven_cavity(lid_velocity=1.0, y_top=1.0)
+    cfg = ns2d.NSConfig(method="alg1", Re=100.0, dt=2e-3, n_steps=100)
+    u, v, p = ns2d.run(grid, problem, cfg)
+    assert bool(jnp.isfinite(u).all() and jnp.isfinite(v).all())
+    # the lid drags fluid: interior u just below the lid is positive
+    assert float(u[grid.m // 2, -1]) > 0.01
+    # no-slip at the bottom: small velocity near the wall
+    assert abs(float(u[grid.m // 2, 0])) < 0.2
+
+
+def test_cg_pressure_solver_matches_dct():
+    grid = ns2d.MACGrid(16, 16, 0.0, math.pi, 0.0, math.pi)
+    x = jnp.asarray(grid.xp)[:, None]
+    y = jnp.asarray(grid.yp)[None, :]
+    rhs = jnp.cos(x) * jnp.cos(2 * y)  # smooth, zero-mean
+    dct = ns2d.dct_pressure_solver(grid)(rhs)
+    cg = ns2d.cg_pressure_solver(grid, n_iterations=400)(rhs)
+    diff = np.asarray(dct - jnp.mean(dct)) - np.asarray(cg)
+    scale = np.abs(np.asarray(dct)).max() + 1e-12
+    assert np.abs(diff).max() / scale < 1e-3
+
+
+def test_cnn_pressure_initializer_hook():
+    """A (mock-trained) HPNN warm start must plug into the CG pressure path and
+    keep the solver exact: with enough CG iterations results match the DCT."""
+    from poisson_cnn_tpu.models import HPNN, HPNNConfig
+
+    grid = ns2d.MACGrid(16, 16, 0.0, math.pi, 0.0, math.pi)
+    cfg_model = HPNNConfig(
+        pre_filters=(4,), pre_kernel_sizes=(5,),
+        deconv_downsampling_factors=(2,), deconv_kernel_sizes=(2,),
+        deconv_conv_kernel_sizes=(3,), resize_downsampling_factors=(),
+        resize_conv_kernel_sizes=(), resize_methods=(),
+        bottleneck_filters=4, bottleneck_n_convs=1,
+        final_filters=(4, 1), final_kernel_sizes=(3, 3),
+        dx_mlp_units=(8,), bc_type="neumann",
+    )
+    model = HPNN(cfg_model)
+    rhs0 = jnp.ones((1, 16, 16, 1))
+    params = model.init(jax.random.PRNGKey(0), rhs0, jnp.full((1, 2), 0.1))
+    init = ns2d.cnn_pressure_initializer(model, params, grid)
+    solver = ns2d.cg_pressure_solver(grid, n_iterations=300, initializer=init)
+
+    problem = ns2d.taylor_vortex()
+    cfg = ns2d.NSConfig(method="alg1", dt=2.5e-4, n_steps=5)
+    u, v, p = ns2d.run(grid, problem, cfg, solver)
+    assert bool(jnp.isfinite(p).all())
+    div = ns2d.divergence(u, v, grid)
+    assert float(jnp.abs(div).max()) < 1e-3
