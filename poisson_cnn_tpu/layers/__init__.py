@@ -1,4 +1,5 @@
 from .core import (
+    norm_layer,
     pad_spatial,
     PadConv,
     ResNetBlock,

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .core import PadConv, ResNetBlock, Upsample, DeconvUpscale
+from .core import PadConv, ResNetBlock, Upsample, DeconvUpscale, norm_layer
 from .metalearning import MetaConv, MetaResNetBlock, MetaDeconvUpscale
 
 
@@ -91,7 +91,7 @@ class BottleneckBlock(nn.Module):
                     self.padding_mode, self.constant_padding_value,
                 )(out)
                 if self.use_batchnorm:
-                    out = nn.BatchNorm(use_running_average=not train)(out)
+                    out = norm_layer()(out)
         target = _out_shape(in_shape, ds, us)
         if self.upsample_mode == "deconv":
             out = DeconvUpscale(
@@ -162,7 +162,7 @@ class MetaBottleneckBlock(nn.Module):
                     hidden_units=self.hidden_units,
                 )(out, dense_inp)
                 if self.use_batchnorm:
-                    out = nn.BatchNorm(use_running_average=not train)(out)
+                    out = norm_layer()(out)
         target = _out_shape(in_shape, ds, us)
         if self.upsample_mode == "deconv":
             out = MetaDeconvUpscale(

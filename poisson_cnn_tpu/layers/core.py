@@ -35,6 +35,15 @@ _PAD_MODES = {
 }
 
 
+def norm_layer(dtype=None):
+    """Normalization used where the reference inserts BatchNorm
+    (`utils/check_batchnorm_fused_enable.py`, resnet/bottleneck/model stacks).
+    TPU-first substitution: GroupNorm(1 group) — no mutable running statistics
+    (nothing to thread through jit/checkpoints), no cross-replica sync under
+    data parallelism, identical train/eval behavior."""
+    return nn.GroupNorm(num_groups=1, dtype=dtype)
+
+
 def pad_spatial(x: jax.Array, pad_widths, mode: str = "constant", value: float = 0.0):
     """Pad the spatial dims of (B, *spatial, C). pad_widths: per-dim (lo, hi)."""
     mode = mode.lower()
@@ -94,10 +103,10 @@ class ResNetBlock(nn.Module):
         )
         out = conv()(x)
         if self.use_batchnorm:
-            out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(out)
+            out = norm_layer(self.dtype)(out)
         out = conv()(out)
         if self.use_batchnorm:
-            out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(out)
+            out = norm_layer(self.dtype)(out)
         out = x + out
         return conv()(out)
 
@@ -133,10 +142,22 @@ def spatial_pyramid_pool(
             bins = [level[0]] * nd
         else:
             bins = list(level)
-        edges = [_bin_edges(x.shape[1 + k], bins[k]) for k in range(nd)]
+        # more bins than pixels would create empty bins (NaN means); such bins
+        # instead repeat the nearest pixel so output width stays level-independent
+        def _bin_slices(n, nb):
+            if nb <= n:
+                e = _bin_edges(n, nb)
+                return [(e[i], e[i + 1]) for i in range(nb)]
+            out = []
+            for i in range(nb):
+                lo = min((i * n) // nb, n - 1)
+                out.append((lo, lo + 1))
+            return out
+
+        slices_per_dim = [_bin_slices(x.shape[1 + k], bins[k]) for k in range(nd)]
         for idx in np.ndindex(*bins):
             sl = (slice(None),) + tuple(
-                slice(edges[k][idx[k]], edges[k][idx[k] + 1]) for k in range(nd)
+                slice(*slices_per_dim[k][idx[k]]) for k in range(nd)
             ) + (slice(None),)
             piece = x[sl]
             if mask is not None:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..utils import resolve_activation
-from .core import pad_spatial
+from .core import pad_spatial, norm_layer
 
 
 def _patches(x: jax.Array, ks, strides, dilation=None) -> jax.Array:
@@ -243,9 +243,9 @@ class MetaResNetBlock(nn.Module):
         )
         out = conv()(x, dense_inp)
         if self.use_batchnorm:
-            out = nn.BatchNorm(use_running_average=not train)(out)
+            out = norm_layer()(out)
         out = conv()(out, dense_inp)
         if self.use_batchnorm:
-            out = nn.BatchNorm(use_running_average=not train)(out)
+            out = norm_layer()(out)
         out = x + out
         return conv()(out, dense_inp)

@@ -37,6 +37,7 @@ from ..layers import (
     JacobiIterationLayer,
     PadConv,
     ResNetBlock,
+    norm_layer,
     spatial_pyramid_pool,
 )
 from ..utils import resolve_activation
@@ -107,7 +108,7 @@ class DBCNN(nn.Module):
             h = PadConv(f, k, cfg.boundary_activation, cfg.boundary_padding_mode,
                         dtype=dtype)(h)
             if cfg.use_batchnorm:
-                h = nn.BatchNorm(use_running_average=not train, dtype=dtype)(h)
+                h = norm_layer(dtype)(h)
             h = ResNetBlock(f, k, cfg.boundary_activation,
                             cfg.boundary_padding_mode, dtype=dtype)(h, train=train)
         bc_features = h  # (B, W, M_boundary)

@@ -34,6 +34,7 @@ from ..layers import (
     PadConv,
     ResNetBlock,
     Scaling,
+    norm_layer,
 )
 from ..utils import resolve_activation
 
@@ -99,7 +100,7 @@ class HPNN(nn.Module):
         for f, k in zip(cfg.pre_filters, cfg.pre_kernel_sizes):
             x = PadConv(f, k, act, cfg.pre_padding_mode, dtype=dtype)(x)
             if cfg.use_batchnorm:
-                x = nn.BatchNorm(use_running_average=not train, dtype=dtype)(x)
+                x = norm_layer(dtype)(x)
 
         # multi-resolution branches (skip factors too large for the grid)
         branch_results = []
