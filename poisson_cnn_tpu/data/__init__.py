@@ -10,3 +10,9 @@ from .reverse import (
     ReverseDataset,
     generate_batch,
 )
+from .numerical import NumericalConfig, generate_numerical_batch
+from .analytical import (
+    AnalyticalConfig,
+    analytical_solution_for_rhs,
+    generate_analytical_batch,
+)

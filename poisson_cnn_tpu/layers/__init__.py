@@ -21,3 +21,4 @@ from .metalearning import (
     MetaResNetBlock,
 )
 from .blocks import BottleneckBlock, MetaBottleneckBlock
+from .subdomain import SubdomainSPPBlock

@@ -6,3 +6,8 @@ from .losses import (
     LossConfig,
     loss_wrapper,
 )
+from .conv_laplacian import (
+    conv_laplacian_loss,
+    laplacian_9pt,
+    variable_density_loss,
+)

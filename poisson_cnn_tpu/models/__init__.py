@@ -11,3 +11,9 @@ from .metalearning_models import (
     MetaDBCNN,
     MetaDBCNNConfig,
 )
+from .gan import (
+    DiscriminatorConfig,
+    PoissonDiscriminator,
+    gan_loss_fns,
+    make_gan_train_step,
+)

@@ -1,4 +1,11 @@
-from .mesh import MACGrid, Problem, taylor_vortex, driven_cavity
+from .mesh import (
+    MACGrid,
+    Problem,
+    taylor_vortex,
+    driven_cavity,
+    periodic_forcing_1,
+    periodic_forcing_2,
+)
 from .operators import (
     complete_u,
     complete_v,

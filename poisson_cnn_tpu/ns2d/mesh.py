@@ -139,3 +139,88 @@ def driven_cavity(lid_velocity: float = 1.0, y_top: float = math.pi) -> Problem:
         u_init=lambda x, y: jnp.zeros_like(x + y),
         v_init=lambda x, y: jnp.zeros_like(x + y),
     )
+
+
+def periodic_forcing_1(Re: float = 1.0) -> Problem:
+    """Forced linearized-NS problem 1 (reference `structure.py:306-324,688-698`,
+    forcing `structure.py:713-760`): exact fields
+    u = pi sin(t) sin(2 pi y) sin^2(pi x), v = -pi sin(t) sin(2 pi x) sin^2(pi y),
+    p = sin(t) sin(pi y) cos(pi x); forcing F = u_t - (1/Re) lap(u) + grad(p)
+    (run with NSConfig(linearized=True))."""
+    pi = math.pi
+
+    def u_exact(x, y, t):
+        return pi * jnp.sin(t) * jnp.sin(2 * pi * y) * jnp.sin(pi * x) ** 2
+
+    def v_exact(x, y, t):
+        return -pi * jnp.sin(t) * jnp.sin(2 * pi * x) * jnp.sin(pi * y) ** 2
+
+    def p_exact(x, y, t):
+        return jnp.sin(t) * jnp.sin(pi * y) * jnp.cos(pi * x)
+
+    def forcing_u(x, y, t):
+        u_t = pi * jnp.cos(t) * jnp.sin(2 * pi * y) * jnp.sin(pi * x) ** 2
+        lap = (
+            2 * pi**3 * jnp.sin(t) * jnp.sin(2 * pi * y)
+            * (jnp.cos(2 * pi * x) - 2 * jnp.sin(pi * x) ** 2)
+        )
+        dp_dx = -pi * jnp.sin(t) * jnp.sin(pi * y) * jnp.sin(pi * x)
+        return u_t - lap / Re + dp_dx
+
+    def forcing_v(x, y, t):
+        v_t = -pi * jnp.cos(t) * jnp.sin(2 * pi * x) * jnp.sin(pi * y) ** 2
+        lap = (
+            -2 * pi**3 * jnp.sin(t) * jnp.sin(2 * pi * x)
+            * (jnp.cos(2 * pi * y) - 2 * jnp.sin(pi * y) ** 2)
+        )
+        dp_dy = pi * jnp.sin(t) * jnp.cos(pi * y) * jnp.cos(pi * x)
+        return v_t - lap / Re + dp_dy
+
+    return Problem(
+        name="periodic_forcing_1",
+        u_bc=u_exact,
+        v_bc=v_exact,
+        u_init=lambda x, y: u_exact(x, y, 0.0),
+        v_init=lambda x, y: v_exact(x, y, 0.0),
+        forcing_u=forcing_u,
+        forcing_v=forcing_v,
+        u_exact=u_exact,
+        v_exact=v_exact,
+        p_exact=p_exact,
+    )
+
+
+def periodic_forcing_2(Re: float = 1.0) -> Problem:
+    """Forced linearized-NS problem 2 (reference `structure.py:326-345,700-712`):
+    u = sin(x+t) sin(y+t), v = cos(x+t) cos(y+t), p = sin(x - y + t);
+    lap(u) = -2u, lap(v) = -2v (run with NSConfig(linearized=True))."""
+
+    def u_exact(x, y, t):
+        return jnp.sin(x + t) * jnp.sin(y + t)
+
+    def v_exact(x, y, t):
+        return jnp.cos(x + t) * jnp.cos(y + t)
+
+    def p_exact(x, y, t):
+        return jnp.sin(x - y + t)
+
+    def forcing_u(x, y, t):
+        u_t = jnp.cos(x + t) * jnp.sin(y + t) + jnp.sin(x + t) * jnp.cos(y + t)
+        return u_t + 2.0 * u_exact(x, y, t) / Re + jnp.cos(x - y + t)
+
+    def forcing_v(x, y, t):
+        v_t = -jnp.sin(x + t) * jnp.cos(y + t) - jnp.cos(x + t) * jnp.sin(y + t)
+        return v_t + 2.0 * v_exact(x, y, t) / Re - jnp.cos(x - y + t)
+
+    return Problem(
+        name="periodic_forcing_2",
+        u_bc=u_exact,
+        v_bc=v_exact,
+        u_init=lambda x, y: u_exact(x, y, 0.0),
+        v_init=lambda x, y: v_exact(x, y, 0.0),
+        forcing_u=forcing_u,
+        forcing_v=forcing_v,
+        u_exact=u_exact,
+        v_exact=v_exact,
+        p_exact=p_exact,
+    )

@@ -120,6 +120,8 @@ class NSConfig:
     n_steps: int = 100
     helmholtz_iterations: int = 40
     t0: float = 0.0
+    linearized: bool = False  # drop convection (the reference's forced
+    # linearized-NS problems, `Navier_Stokes_2D/structure.py:306-347`)
 
     def __post_init__(self):
         if self.method not in ("alg1", "alg2", "alg3", "gauge"):
@@ -176,6 +178,9 @@ def make_stepper(
         # AB2 convection after the first (Euler) step
         conv_u_eff = jnp.where(first, conv_u, 1.5 * conv_u - 0.5 * conv_u_prev)
         conv_v_eff = jnp.where(first, conv_v, 1.5 * conv_v - 0.5 * conv_v_prev)
+        if cfg.linearized:
+            conv_u_eff = jnp.zeros_like(conv_u_eff)
+            conv_v_eff = jnp.zeros_like(conv_v_eff)
 
         fu, fv = forcing(t_n + 0.5 * dt)
         gpx, gpy = grad_p_faces(p, grid)

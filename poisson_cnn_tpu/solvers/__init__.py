@@ -12,3 +12,7 @@ from .iterative import (
 )
 from .multigrid import multigrid_poisson_solve
 from .direct import cholesky_poisson_solve
+from .variable_density import (
+    variable_density_operator,
+    variable_density_poisson_solve,
+)

@@ -15,7 +15,16 @@ from typing import Any
 from ..data import GridSamplingConfig, Normalizations, ReverseConfig
 from ..data.numerical import NumericalConfig
 from ..losses import LossConfig
-from ..models import DBCNNConfig, HPNNConfig, PCNNConfig
+from ..models import (
+    DBCNNConfig,
+    DBCRNNConfig,
+    FourierAutoencoderConfig,
+    HPNNConfig,
+    MetaDBCNNConfig,
+    MetaHPNNConfig,
+    PCNNConfig,
+    UNetConfig,
+)
 
 
 def _tuplify(value):
@@ -76,6 +85,16 @@ def build_model_config(payload: dict):
         return _build(HPNNConfig, payload)
     if kind == "dbcnn":
         return _build(DBCNNConfig, payload)
+    if kind == "unet":
+        return _build(UNetConfig, payload)
+    if kind == "dbcrnn":
+        return _build(DBCRNNConfig, payload)
+    if kind == "fourier_autoencoder":
+        return _build(FourierAutoencoderConfig, payload)
+    if kind == "meta_hpnn":
+        return _build(MetaHPNNConfig, payload)
+    if kind == "meta_dbcnn":
+        return _build(MetaDBCNNConfig, payload)
     if kind == "pcnn":
         hpnn = _build(HPNNConfig, payload.pop("hpnn", {}))
         dbcnn = _build(DBCNNConfig, payload.pop("dbcnn", {}))

@@ -112,3 +112,21 @@ def test_cnn_pressure_initializer_hook():
     assert bool(jnp.isfinite(p).all())
     div = ns2d.divergence(u, v, grid)
     assert float(jnp.abs(div).max()) < 1e-3
+
+
+def test_periodic_forcing_problems_linearized():
+    """Forced linearized-NS problems track their exact solutions
+    (reference structure.py:306-347 capability)."""
+    for maker in (ns2d.periodic_forcing_1, ns2d.periodic_forcing_2):
+        problem = maker(Re=1.0)
+        grid = ns2d.MACGrid(24, 24, 0.0, 1.0, 0.0, 1.0)
+        cfg = ns2d.NSConfig(method="alg1", Re=1.0, dt=5e-4, n_steps=40,
+                            linearized=True, helmholtz_iterations=80)
+        u, v, p = ns2d.run(grid, problem, cfg)
+        t_end = cfg.n_steps * cfg.dt
+        verr = ns2d.velocity_error(u, v, grid, problem, t_end)
+        # field scale is O(0.01..1) at t_end=0.02; demand small relative error
+        xu = jnp.asarray(grid.xu)[:, None]
+        yu = jnp.asarray(grid.yu)[None, :]
+        scale = float(jnp.abs(problem.u_exact(xu, yu, t_end)).max()) + 1e-9
+        assert verr["u"]["linf"] / scale < 5e-2, (problem.name, verr, scale)
