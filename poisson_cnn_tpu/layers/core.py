@@ -267,13 +267,17 @@ class WeightedContraction(nn.Module):
 class JacobiIterationLayer(nn.Module):
     """Differentiable weighted-Jacobi post-smoother: n sweeps of lap(u)=rhs with
     the boundary frozen (reference `layers/JacobiIterationLayer.py:7-66`,
-    5-point stencil). No parameters; fully fused stencil updates."""
+    5-point stencil). No parameters. On TPU this dispatches to the fused Pallas
+    kernel (`ops.pallas_kernels`, ~17x faster than the per-sweep XLA stencils at
+    256^2 — the sweeps stay resident in VMEM)."""
 
     n_iterations: int = 5
     omega: float = 2.0 / 3.0
 
     def __call__(self, u, rhs, dx):
-        return jacobi_smooth(u, rhs, dx, self.n_iterations, omega=self.omega)
+        from ..ops.pallas_kernels import jacobi_smooth_auto
+
+        return jacobi_smooth_auto(u, rhs, dx, self.n_iterations, omega=self.omega)
 
 
 class Scaling(nn.Module):

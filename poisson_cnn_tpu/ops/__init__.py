@@ -30,6 +30,7 @@ from .smooth import (
     laplacian_eigenvalue_factors,
 )
 from .resize import resize_matrix, resize_align_corners
+from .pallas_kernels import jacobi_smooth_pallas, jacobi_smooth_auto
 from .polynomial import (
     roots_to_coefficients,
     polynomial_derivative_coefficients,

@@ -4,3 +4,4 @@ from .registry import (
     resolve_activation,
     resolve_initializer,
 )
+from .profiling import MetricsLogger, StepTimer, benchmark, trace

@@ -210,3 +210,17 @@ def test_meta_bottleneck_block():
     params = m.init(jax.random.PRNGKey(0), x, dense)
     y = m.apply(params, x, dense)
     assert y.shape == (2, 32, 32, 8)
+
+
+def test_pallas_jacobi_matches_xla_reference():
+    """Pallas fused smoother (interpret mode on CPU) == XLA jacobi_smooth."""
+    from poisson_cnn_tpu.ops.pallas_kernels import jacobi_smooth_pallas
+    from poisson_cnn_tpu.solvers import jacobi_smooth
+
+    key = jax.random.PRNGKey(11)
+    u = jnp.zeros((2, 16, 24, 1))
+    rhs = jax.random.normal(key, (2, 16, 24, 1))
+    dx = jnp.array([[0.1, 0.2], [0.05, 0.07]])
+    want = jacobi_smooth(u, rhs, dx, 10, omega=2.0 / 3.0)
+    got = jacobi_smooth_pallas(u, rhs, dx, 10, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -167,3 +167,50 @@ def test_lr_plateau_mechanics(tmp_path):
     assert tr.current_learning_rate() == pytest.approx(1e-3)
     tr.set_learning_rate(5e-4)
     assert tr.current_learning_rate() == pytest.approx(5e-4)
+
+
+def test_bf16_mixed_precision_training():
+    """bf16 compute dtype: params stay fp32, forward/backward finite, loss
+    decreases on a fixed batch (BASELINE config 4 capability)."""
+    import optax
+    from poisson_cnn_tpu.models import HPNN, HPNNConfig
+
+    cfg = HPNNConfig(
+        pre_filters=(4, 8), pre_kernel_sizes=(7, 5),
+        deconv_downsampling_factors=(2,), deconv_kernel_sizes=(2,),
+        deconv_conv_kernel_sizes=(3,), resize_downsampling_factors=(),
+        resize_conv_kernel_sizes=(), resize_methods=(),
+        bottleneck_filters=8, bottleneck_n_convs=1,
+        final_filters=(4, 1), final_kernel_sizes=(3, 3), dx_mlp_units=(8,),
+        dtype="bfloat16",
+    )
+    model = HPNN(cfg)
+    key = jax.random.PRNGKey(0)
+    rhs = jax.random.normal(key, (2, 32, 32, 1))
+    soln = 0.1 * rhs
+    dx = jnp.full((2, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(1), rhs, dx)
+    # params stay fp32 (master weights); compute is bf16
+    assert all(
+        l.dtype == jnp.float32 for l in jax.tree_util.tree_leaves(params)
+    )
+    out = model.apply(params, rhs, dx)
+    assert out.dtype == jnp.float32  # cast back at the boundary
+
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        l, g = jax.value_and_grad(
+            lambda p: jnp.mean((model.apply(p, rhs, dx) - soln) ** 2)
+        )(p)
+        u, o = tx.update(g, o)
+        return optax.apply_updates(p, u), o, l
+
+    l0 = None
+    for _ in range(30):
+        params, opt, l = step(params, opt)
+        if l0 is None:
+            l0 = float(l)
+    assert float(l) < 0.7 * l0 and jnp.isfinite(l)
