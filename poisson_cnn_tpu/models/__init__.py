@@ -17,3 +17,4 @@ from .gan import (
     gan_loss_fns,
     make_gan_train_step,
 )
+from .hpnn_fluidnet import FluidnetHPNN, FluidnetHPNNConfig

@@ -70,39 +70,45 @@ def poisson_solve_dirichlet(
 ) -> jax.Array:
     """Solve lap(u) = rhs with homogeneous Dirichlet BCs on the full grid.
 
-    rhs: (B, n0, n1, C) including boundary rows/cols (ignored); dx: (B, 2) or
-    (B, 1). Returns u with exact zeros on the boundary. mode='fd' inverts the
-    5-point operator exactly; mode='continuous' uses -(m pi / L)^2 eigenvalues.
+    N-dimensional (1/2/3-D, matching the reference's dimensionality support):
+    rhs: (B, n_0, ..., n_{d-1}, C) including boundary points (ignored);
+    dx: (B, d) or (B, 1). Returns u with exact zeros on the boundary.
+    mode='fd' inverts the (2d+1)-point FD operator exactly; mode='continuous'
+    uses the -(m pi / L)^2 analytic eigenvalues.
     """
-    B, n0, n1, C = rhs.shape
+    nd = rhs.ndim - 2
+    B = rhs.shape[0]
+    ns = rhs.shape[1 : 1 + nd]
     dtype = rhs.dtype
     if dx.shape[-1] == 1:
-        dx = jnp.broadcast_to(dx, (B, 2))
-    f = rhs[:, 1:-1, 1:-1, :]
-    ni0, ni1 = n0 - 2, n1 - 2
-    s0 = jnp.asarray(_dst1_matrix(ni0), dtype=dtype)
-    s1 = jnp.asarray(_dst1_matrix(ni1), dtype=dtype)
-    fhat = _apply_axis(_apply_axis(f, s0, 0), s1, 1)
-    m0 = jnp.arange(1, ni0 + 1, dtype=dtype)
-    m1 = jnp.arange(1, ni1 + 1, dtype=dtype)
-    if mode == "fd":
-        lam0 = (2.0 * jnp.cos(math.pi * m0 / (ni0 + 1)) - 2.0)[None, :, None, None] / (
-            dx[:, 0] ** 2
-        )[:, None, None, None]
-        lam1 = (2.0 * jnp.cos(math.pi * m1 / (ni1 + 1)) - 2.0)[None, None, :, None] / (
-            dx[:, 1] ** 2
-        )[:, None, None, None]
-    elif mode == "continuous":
-        L0 = dx[:, 0] * (n0 - 1)
-        L1 = dx[:, 1] * (n1 - 1)
-        lam0 = -((m0 * math.pi)[None, :, None, None] / L0[:, None, None, None]) ** 2
-        lam1 = -((m1 * math.pi)[None, None, :, None] / L1[:, None, None, None]) ** 2
-    else:
-        raise ValueError(f"unknown mode {mode}")
-    uhat = fhat / (lam0 + lam1)
-    u = _apply_axis(_apply_axis(uhat, s0, 0), s1, 1)
-    u = u * (2.0 / (ni0 + 1)) * (2.0 / (ni1 + 1))
-    return jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        dx = jnp.broadcast_to(dx, (B, nd))
+    interior = (slice(None),) + tuple(slice(1, -1) for _ in range(nd)) + (slice(None),)
+    f = rhs[interior]
+    lam_sum = None
+    for k, n in enumerate(ns):
+        ni = n - 2
+        s = jnp.asarray(_dst1_matrix(ni), dtype=dtype)
+        f = _apply_axis(f, s, k)
+        m = jnp.arange(1, ni + 1, dtype=dtype)
+        if mode == "fd":
+            lam = (2.0 * jnp.cos(math.pi * m / (ni + 1)) - 2.0)
+            lam = lam.reshape((1,) + (1,) * k + (ni,) + (1,) * (nd - k - 1) + (1,))
+            lam = lam / (dx[:, k] ** 2).reshape((B,) + (1,) * (nd + 1))
+        elif mode == "continuous":
+            L = dx[:, k] * (n - 1)
+            lam = -((m * math.pi).reshape(
+                (1,) + (1,) * k + (ni,) + (1,) * (nd - k - 1) + (1,)
+            ) / L.reshape((B,) + (1,) * (nd + 1))) ** 2
+        else:
+            raise ValueError(f"unknown mode {mode}")
+        lam_sum = lam if lam_sum is None else lam_sum + lam
+    u = f / lam_sum
+    for k, n in enumerate(ns):
+        ni = n - 2
+        s = jnp.asarray(_dst1_matrix(ni), dtype=dtype)
+        u = _apply_axis(u, s, k) * (2.0 / (ni + 1))
+    pad_cfg = ((0, 0),) + ((1, 1),) * nd + ((0, 0),)
+    return jnp.pad(u, pad_cfg)
 
 
 def lift_dirichlet_boundaries(

@@ -126,3 +126,23 @@ def test_poisson_gan_trains():
             first = float(metrics["gen_loss"])
     assert float(metrics["gen_loss"]) < first
     assert bool(jnp.isfinite(metrics["disc_loss"]))
+
+
+def test_native_multigrid_matches_spectral():
+    """C++ host multigrid (pyamg-equivalent oracle) vs on-device spectral."""
+    from poisson_cnn_tpu import native
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    key = jax.random.PRNGKey(6)
+    u = jax.random.normal(key, (2, 33, 33, 1))
+    u = u.at[:, 0].set(0).at[:, -1].set(0).at[:, :, 0].set(0).at[:, :, -1].set(0)
+    dx = jnp.tile(jnp.asarray([[0.05, 0.04]]), (2, 1))
+    rhs = jnp.pad(ops.apply_fd_operator(u, dx, 3, 2), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    u_native = native.multigrid_poisson_solve_host(np.asarray(rhs), np.asarray(dx))
+    rel = float(np.linalg.norm(u_native - np.asarray(u)) / np.linalg.norm(np.asarray(u)))
+    assert rel < 1e-6, rel  # fp64 host solve to tol 1e-10
+    # also check it agrees with the on-device spectral solver
+    u_sp = solvers.poisson_solve_dirichlet(rhs, dx, mode="fd")
+    rel2 = float(np.linalg.norm(u_native - np.asarray(u_sp)) / np.linalg.norm(u_native))
+    assert rel2 < 1e-4, rel2

@@ -131,3 +131,20 @@ def test_meta_dbcnn_forward():
     out = model.apply(params, bc, dx, 20)
     assert out.shape == (2, 20, 24, 1)
     np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(bc), atol=1e-6)
+
+
+def test_fluidnet_hpnn_forward_and_bc():
+    from poisson_cnn_tpu.models import FluidnetHPNN, FluidnetHPNNConfig
+
+    model = FluidnetHPNN(FluidnetHPNNConfig(
+        pool_sizes=(1, 2, 4), branch_filters=(8, 8),
+        branch_kernel_sizes=(5, 3), dx_mlp_units=(16,),
+    ))
+    rhs = jax.random.normal(jax.random.PRNGKey(6), (2, 40, 48, 1))
+    dx = jnp.full((2, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), rhs, dx)
+    out = model.apply(params, rhs, dx)
+    assert out.shape == rhs.shape
+    np.testing.assert_allclose(np.asarray(out[:, 0]), 0.0, atol=1e-6)
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, rhs, dx) ** 2))(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))

@@ -156,3 +156,26 @@ def test_solvers_jit_and_vmap_clean():
     f = jax.jit(lambda b, dx: solvers.poisson_solve_dirichlet(b, dx))
     out = f(b, dx)
     assert out.shape == b.shape
+
+
+def test_spectral_dirichlet_3d_and_1d():
+    """N-D spectral solve (1-D and 3-D paths, reference 1-3-D capability)."""
+    key = jax.random.PRNGKey(9)
+    # 3-D: random interior field, exact 7-point image, recover
+    u = jax.random.normal(key, (2, 17, 15, 13, 1))
+    for axis in (1, 2, 3):
+        u = jnp.moveaxis(jnp.moveaxis(u, axis, 1).at[:, 0].set(0).at[:, -1].set(0), 1, axis)
+    dx = jnp.tile(jnp.asarray([[0.1, 0.12, 0.09]]), (2, 1))
+    b = ops.apply_fd_operator(u, dx, 3, 2)
+    b_full = jnp.pad(b, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    u_rec = solvers.poisson_solve_dirichlet(b_full, dx, mode="fd")
+    rel = float(jnp.linalg.norm(u_rec - u) / jnp.linalg.norm(u))
+    assert rel < 1e-3, rel
+    # 1-D
+    u1 = jax.random.normal(key, (2, 33, 1)).at[:, 0].set(0).at[:, -1].set(0)
+    dx1 = jnp.full((2, 1), 0.05)
+    b1 = ops.apply_fd_operator(u1, dx1, 3, 2)
+    b1_full = jnp.pad(b1, ((0, 0), (1, 1), (0, 0)))
+    u1_rec = solvers.poisson_solve_dirichlet(b1_full, dx1, mode="fd")
+    rel1 = float(jnp.linalg.norm(u1_rec - u1) / jnp.linalg.norm(u1))
+    assert rel1 < 1e-3, rel1
