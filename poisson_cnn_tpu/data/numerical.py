@@ -29,7 +29,13 @@ from ..ops import (
     set_max_magnitude_in_batch_and_return_scaling_factors,
     synthesize_series,
 )
-from ..solvers import poisson_solve
+from ..solvers import (
+    apply_dirichlet_boundaries,
+    cholesky_poisson_solve,
+    lift_dirichlet_boundaries,
+    multigrid_poisson_solve,
+    poisson_solve,
+)
 from .sampling import GridSamplingConfig, sample_grid_spacings
 
 
@@ -73,11 +79,16 @@ class NumericalConfig:
     boundary_mode_range: Tuple[int, int] = (3, 8)
     rhs_mode_range: Tuple[int, int] = (1, 8)
     magnitude_range: Tuple[float, float] = (0.5, 1.5)
+    solver: str = "spectral"  # 'spectral' | 'multigrid' | 'cholesky'
+    # (the reference's pluggable ground-truth solver dispatch,
+    # `dataset/generators/numerical.py:121-131`; all three run on-device here)
 
     def __post_init__(self):
         for b in self.nonzero_boundaries:
             if b not in ("left", "right", "top", "bottom"):
                 raise ValueError(f"unknown boundary {b}")
+        if self.solver not in ("spectral", "multigrid", "cholesky"):
+            raise ValueError(f"unknown solver {self.solver}")
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -109,5 +120,12 @@ def generate_numerical_batch(
         else:
             boundaries[name] = jnp.zeros((B, edge_lengths[name], 1))
 
-    soln = poisson_solve(rhs, dx, boundaries=boundaries, mode="fd")
+    if cfg.solver == "spectral":
+        soln = poisson_solve(rhs, dx, boundaries=boundaries, mode="fd")
+    elif cfg.solver == "multigrid":
+        lifted = lift_dirichlet_boundaries(rhs, boundaries, dx)
+        soln = multigrid_poisson_solve(lifted, dx, n_cycles=12)
+        soln = apply_dirichlet_boundaries(soln, boundaries)
+    else:  # cholesky
+        soln = cholesky_poisson_solve(rhs, dx, boundaries=boundaries)
     return {"rhs": rhs, "boundaries": boundaries, "dx": dx, "soln": soln}

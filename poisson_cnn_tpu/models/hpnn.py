@@ -27,7 +27,19 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import compute_domain_sizes, cos_position_embeddings
+from ..ops import (
+    apply_fd_operator,
+    compute_domain_sizes,
+    cos_position_embeddings,
+    peak_magnitudes,
+    set_max_magnitude_in_batch,
+)
+
+
+def _safe_unit_peak(arr):
+    peaks = peak_magnitudes(arr)
+    safe = jnp.where(peaks > 0, peaks, 1.0)
+    return arr / safe.reshape((-1,) + (1,) * (arr.ndim - 1)), peaks
 from ..layers import (
     BottleneckBlock,
     JacobiIterationLayer,
@@ -68,10 +80,26 @@ class HPNNConfig:
     postsmoother_iterations: int = 0
     bc_type: str = "dirichlet"  # 'dirichlet' | 'neumann'
     dtype: Optional[str] = None  # e.g. 'bfloat16' compute dtype
+    # input normalization / output scaling modes (reference
+    # `process_normalizations` / `process_output_scaling_modes`,
+    # `Homogeneous_Poisson_NN_Metalearning.py:27-57`, applied in
+    # `Homogeneous_Poisson_NN.py:124-141,150-188`):
+    normalize_rhs_max_magnitude: bool = False
+    output_scaling: Optional[str] = None
+    # None | 'rhs_max_magnitude' | 'max_domain_size_squared' |
+    # 'rhs_max_magnitude_and_max_domain_size_squared' | 'soln_max_magnitude' |
+    # 'match_peak_laplacian_magnitude_to_peak_rhs'
 
     def __post_init__(self):
         if self.bc_type not in ("dirichlet", "neumann"):
             raise ValueError("bc_type must be dirichlet or neumann")
+        allowed = (
+            None, "rhs_max_magnitude", "max_domain_size_squared",
+            "rhs_max_magnitude_and_max_domain_size_squared",
+            "soln_max_magnitude", "match_peak_laplacian_magnitude_to_peak_rhs",
+        )
+        if self.output_scaling not in allowed:
+            raise ValueError(f"unknown output_scaling {self.output_scaling}")
 
 
 class HPNN(nn.Module):
@@ -89,6 +117,10 @@ class HPNN(nn.Module):
         else:
             dx2 = dx
         domain_sizes = compute_domain_sizes(dx2, grid_shape)
+
+        raw_rhs = rhs
+        if cfg.normalize_rhs_max_magnitude:
+            rhs, _ = _safe_unit_peak(rhs)
 
         x = rhs.astype(dtype)
         if cfg.use_positional_embeddings:
@@ -198,4 +230,21 @@ class HPNN(nn.Module):
         out = out.astype(rhs.dtype)
         if cfg.postsmoother_iterations > 0:
             out = JacobiIterationLayer(cfg.postsmoother_iterations)(out, rhs, dx2)
+
+        # output scaling modes (reference `Homogeneous_Poisson_NN.py:124-188`)
+        mode = cfg.output_scaling
+        if mode == "soln_max_magnitude":
+            out = set_max_magnitude_in_batch(out, 1.0, eps=1e-30)
+        elif mode is not None:
+            factors = jnp.ones((B,), dtype=out.dtype)
+            if "rhs_max_magnitude" in mode:
+                factors = factors * peak_magnitudes(raw_rhs)
+            if "max_domain_size_squared" in mode:
+                factors = factors * jnp.max(domain_sizes, axis=1) ** 2
+            if mode == "match_peak_laplacian_magnitude_to_peak_rhs":
+                lap = apply_fd_operator(out, dx2, 5, 2)
+                factors = peak_magnitudes(raw_rhs) / (
+                    peak_magnitudes(lap) + 1e-30
+                )
+            out = out * factors[:, None, None, None]
         return out

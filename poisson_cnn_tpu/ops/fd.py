@@ -140,3 +140,47 @@ def laplacian_fd(u: jax.Array, dx: jax.Array, stencil_size: int = 3) -> jax.Arra
     """FD Laplacian of u on the interior (VALID region). u: (B, *spatial, C)."""
     nd = u.ndim - 2
     return apply_fd_operator(u, dx, stencil_size, 2)
+
+
+def second_derivative_matrix_nonuniform(x) -> np.ndarray:
+    """(n, n) matrix applying d^2/dx^2 on an arbitrary (e.g. Chebyshev) 1-D
+    grid via per-point 3-point nonuniform stencils — the variable-spacing FD
+    capability of the reference's `poisson_lhs_matrix.py:65-85` (its own oracle
+    checks 2nd-derivative accuracy on Chebyshev grids, `:215-247`). Boundary
+    rows are zero (Dirichlet use)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    mat = np.zeros((n, n))
+    for i in range(1, n - 1):
+        pos = x[i - 1 : i + 2] - x[i]
+        mat[i, i - 1 : i + 2] = fd_coefficients_nonuniform(pos, 2)
+    return mat
+
+
+def fd_coefficients_nonuniform(offsets, order: int) -> np.ndarray:
+    """FD coefficients for arbitrary real offsets (Vandermonde moment system);
+    `fd_coefficients` restricted to integers is the uniform special case."""
+    pos = np.asarray(offsets, dtype=np.float64)
+    n = len(pos)
+    if order >= n:
+        raise ValueError(f"order {order} needs more than {n} points")
+    vander = np.stack([pos**k for k in range(n)])
+    rhs = np.zeros((n,), dtype=np.float64)
+    rhs[order] = math.factorial(order)
+    return np.linalg.solve(vander, rhs)
+
+
+def poisson_lhs_matrix(grid_shape, dx) -> np.ndarray:
+    """Dense 5-point Poisson system matrix over the interior unknowns of a
+    (n0, n1) grid with homogeneous Dirichlet BCs (row-major interior ordering)
+    — parity with the reference's matrix assembly
+    (`dataset/utils/poisson_lhs_matrix.py:87-135`, validated there against
+    pyamg's Poisson matrix). dx: (2,) spacings."""
+    n0, n1 = grid_shape
+    ni0, ni1 = n0 - 2, n1 - 2
+    d0 = np.diag(-2.0 * np.ones(ni0)) + np.eye(ni0, k=1) + np.eye(ni0, k=-1)
+    d1 = np.diag(-2.0 * np.ones(ni1)) + np.eye(ni1, k=1) + np.eye(ni1, k=-1)
+    return (
+        np.kron(d0, np.eye(ni1)) / float(dx[0]) ** 2
+        + np.kron(np.eye(ni0), d1) / float(dx[1]) ** 2
+    )

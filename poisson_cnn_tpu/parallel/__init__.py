@@ -6,3 +6,4 @@ from .train import (
     make_generating_train_step,
     make_eval_step,
 )
+from .spatial import jacobi_smooth_spatial

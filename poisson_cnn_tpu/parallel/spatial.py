@@ -1,0 +1,96 @@
+"""Spatial domain decomposition over the device mesh: stencil iteration with
+halo exchange.
+
+This is the scale-up analog the reference lacks entirely (SURVEY.md §2.10: the
+reference is single-host data-parallel only) — for grids too large for one
+chip's HBM (512^2+ and 3-D), the field is sharded along the first spatial axis
+across the mesh, and each Jacobi sweep exchanges one-row halos with the two
+neighbours via `lax.ppermute` (nearest-neighbour ICI traffic, no all-gathers).
+Global domain boundaries stay frozen exactly as in the single-device smoother,
+so results are bit-comparable to `solvers.jacobi_smooth`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def jacobi_smooth_spatial(
+    mesh: Mesh,
+    u: jax.Array,
+    rhs: jax.Array,
+    dx: jax.Array,
+    n_iterations: int = 5,
+    omega: float = 0.8,  # matches solvers.jacobi_smooth's default
+    axis_name: str = "data",
+) -> jax.Array:
+    """Weighted-Jacobi smoothing of lap(u)=rhs with u, rhs sharded along H.
+
+    u, rhs: (B, H, W, C) with H divisible by the mesh axis size; dx: (B, 2)
+    or (B, 1). Returns the smoothed field with the same sharding.
+    """
+    n_dev = mesh.shape[axis_name]
+    B, H, W, C = u.shape
+    if H % n_dev:
+        raise ValueError(f"H={H} not divisible by mesh axis size {n_dev}")
+    if dx.shape[-1] == 1:
+        dx = jnp.broadcast_to(dx, (B, 2))
+
+    def local_fn(u_loc, rhs_loc, dx_rep):
+        # u_loc: (B, H/n_dev, W, C)
+        idx = jax.lax.axis_index(axis_name)
+        inv_dx2 = (1.0 / dx_rep**2).astype(u_loc.dtype)
+        w0 = inv_dx2[:, 0][:, None, None, None]
+        w1 = inv_dx2[:, 1][:, None, None, None]
+        diag = -2.0 * (w0 + w1)
+        h_loc = u_loc.shape[1]
+        # frozen-row mask: global first row (device 0) and last row (device
+        # n_dev-1); frozen columns 0 and W-1 everywhere
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, h_loc, 1, 1), 1)
+        frozen_rows = jnp.logical_or(
+            jnp.logical_and(idx == 0, row_ids == 0),
+            jnp.logical_and(idx == n_dev - 1, row_ids == h_loc - 1),
+        )
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2)
+        frozen_cols = jnp.logical_or(col_ids == 0, col_ids == W - 1)
+        frozen = jnp.logical_or(frozen_rows, frozen_cols)
+
+        up_perm = [(i, i + 1) for i in range(n_dev - 1)]  # send down
+        down_perm = [(i + 1, i) for i in range(n_dev - 1)]  # send up
+
+        def sweep(_, u_loc):
+            # halo rows from neighbours (zeros at the global ends — those rows
+            # are frozen so the zero halos never enter a kept update)
+            top_halo = jax.lax.ppermute(
+                u_loc[:, -1:, :, :], axis_name, up_perm
+            )
+            bot_halo = jax.lax.ppermute(
+                u_loc[:, :1, :, :], axis_name, down_perm
+            )
+            ext = jnp.concatenate([top_halo, u_loc, bot_halo], axis=1)
+            up = ext[:, :-2, :, :]
+            down = ext[:, 2:, :, :]
+            left = jnp.pad(u_loc[:, :, :-1, :], ((0, 0), (0, 0), (1, 0), (0, 0)))
+            right = jnp.pad(u_loc[:, :, 1:, :], ((0, 0), (0, 0), (0, 1), (0, 0)))
+            off = (up + down) * w0 + (left + right) * w1
+            u_new = (rhs_loc - off) / diag
+            cand = (1.0 - omega) * u_loc + omega * u_new
+            return jnp.where(frozen, u_loc, cand)
+
+        return jax.lax.fori_loop(0, n_iterations, sweep, u_loc)
+
+    spec = P(None, axis_name, None, None)
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec, spec, P()),
+        out_specs=spec,
+    )
+    u = jax.device_put(u, NamedSharding(mesh, spec))
+    rhs = jax.device_put(rhs, NamedSharding(mesh, spec))
+    return fn(u, rhs, dx)

@@ -209,3 +209,39 @@ def test_pcnn_zero_bcs_no_nan():
     params = model.init(jax.random.PRNGKey(0), rhs, z_w, z_h, z_w, z_h, dx)
     out = model.apply(params, rhs, z_w, z_h, z_w, z_h, dx)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_hpnn_output_scaling_modes():
+    """Reference output-scaling modes (process_output_scaling_modes)."""
+    import dataclasses
+
+    rhs = 3.0 * jax.random.normal(jax.random.PRNGKey(20), (2, 48, 48, 1))
+    dx = jnp.full((2, 1), 0.02)
+    for mode in (
+        None,
+        "rhs_max_magnitude",
+        "max_domain_size_squared",
+        "rhs_max_magnitude_and_max_domain_size_squared",
+        "soln_max_magnitude",
+        "match_peak_laplacian_magnitude_to_peak_rhs",
+    ):
+        cfg = dataclasses.replace(
+            SMALL_HPNN, output_scaling=mode, normalize_rhs_max_magnitude=True
+        )
+        model = HPNN(cfg)
+        params = model.init(jax.random.PRNGKey(0), rhs, dx)
+        out = model.apply(params, rhs, dx)
+        assert out.shape == rhs.shape and bool(jnp.isfinite(out).all()), mode
+        if mode == "soln_max_magnitude":
+            np.testing.assert_allclose(
+                np.asarray(ops.peak_magnitudes(out)), 1.0, rtol=1e-5
+            )
+        if mode == "match_peak_laplacian_magnitude_to_peak_rhs":
+            lap = ops.apply_fd_operator(out, jnp.broadcast_to(dx, (2, 2)), 5, 2)
+            np.testing.assert_allclose(
+                np.asarray(ops.peak_magnitudes(lap)),
+                np.asarray(ops.peak_magnitudes(rhs)),
+                rtol=1e-3,
+            )
+    with pytest.raises(ValueError):
+        dataclasses.replace(SMALL_HPNN, output_scaling="bogus")

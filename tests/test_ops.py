@@ -187,3 +187,35 @@ def test_make_shape_mask():
 def test_compute_domain_sizes():
     L = ops.compute_domain_sizes(jnp.array([[0.1]]), (11, 21))
     np.testing.assert_allclose(np.asarray(L), [[1.0, 2.0]], rtol=1e-6)
+
+
+def test_nonuniform_fd_chebyshev_second_derivative():
+    """Chebyshev-grid 2nd derivative of cos(x): the reference's own oracle
+    (poisson_lhs_matrix.py:215-247)."""
+    n = 64
+    x = -np.cos(np.pi * np.arange(n) / (n - 1))  # chebyshev points on [-1,1]
+    mat = ops.fd.second_derivative_matrix_nonuniform(x)
+    f = np.cos(3.0 * x)
+    dd = mat @ f
+    exact = -9.0 * np.cos(3.0 * x)
+    rel = np.linalg.norm(dd[1:-1] - exact[1:-1]) / np.linalg.norm(exact[1:-1])
+    assert rel < 2e-2, rel
+
+
+def test_poisson_lhs_matrix_matches_operator():
+    """Dense matrix assembly == matrix-free Dirichlet operator."""
+    from poisson_cnn_tpu import solvers
+
+    n0, n1 = 9, 7
+    dx = (0.1, 0.2)
+    A = ops.fd.poisson_lhs_matrix((n0, n1), dx)
+    u = np.random.default_rng(0).normal(size=(n0, n1))
+    u[0] = u[-1] = 0.0
+    u[:, 0] = u[:, -1] = 0.0
+    want = np.asarray(
+        solvers.laplacian_dirichlet(
+            jnp.asarray(u)[None, ..., None], jnp.asarray([dx])
+        )
+    )[0, 1:-1, 1:-1, 0]
+    got = (A @ u[1:-1, 1:-1].ravel()).reshape(n0 - 2, n1 - 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
