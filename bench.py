@@ -3,7 +3,9 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.md): >= 5,000 solves/sec on a single TPU v5e chip.
-Measured (2026-08-16, v5e single chip, fp32, batch 8): ~28,000 solves/sec.
+Measured (2026-08-16, v5e single chip, batch 8): fp32 ~43,000 solves/sec,
+bf16 compute ~47,000 solves/sec (the production precision; BASELINE.md
+specifies bf16).
 """
 
 import json
@@ -26,7 +28,7 @@ def main():
     from poisson_cnn_tpu.models import HPNN, HPNNConfig
 
     n, batch = 256, 8
-    model = HPNN(HPNNConfig())
+    model = HPNN(HPNNConfig(dtype="bfloat16"))
     rhs = jnp.ones((batch, n, n, 1), dtype=jnp.float32)
     dx = jnp.full((batch, 1), 2.0 / (n - 1), dtype=jnp.float32)
     # init on CPU (avoids a second multi-minute TPU compile of the init graph)

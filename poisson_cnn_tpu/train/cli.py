@@ -29,6 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all visible devices")
+    p.add_argument("--metrics_path", default=None,
+                   help="JSONL file for per-epoch metrics")
     return p.parse_args(argv)
 
 
@@ -68,6 +70,7 @@ def run(model_builder, step_factory, init_example, argv=None):
         train_cfg=train_cfg,
         checkpoint_dir=args.checkpoint_dir,
         mesh=mesh,
+        metrics_path=args.metrics_path,
     )
     state = trainer.run()
     return trainer, state

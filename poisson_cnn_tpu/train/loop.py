@@ -81,6 +81,7 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         mesh=None,
         log_every: int = 50,
+        metrics_path: Optional[str] = None,
     ):
         self.cfg = train_cfg
         self.tx = make_optimizer(train_cfg)
@@ -101,6 +102,9 @@ class Trainer:
         self.key = jax.random.PRNGKey(train_cfg.seed)
         self.best_loss = float("inf")
         self.history = []
+        from ..utils import MetricsLogger
+
+        self.metrics = MetricsLogger(metrics_path)
 
     def _step_for(self, shape):
         if shape not in self._steps:
@@ -140,6 +144,11 @@ class Trainer:
                 f"epoch {epoch}: loss={mean_loss:.6f} lr={self.current_learning_rate():.2e} "
                 f"({sps:.2f} steps/s, {len(self._steps)} compiled shapes)",
                 flush=True,
+            )
+            self.metrics.log(
+                epoch=epoch, loss=mean_loss,
+                lr=self.current_learning_rate(), steps_per_sec=sps,
+                compiled_shapes=len(self._steps),
             )
             if mean_loss < self.best_loss:
                 self.best_loss = mean_loss

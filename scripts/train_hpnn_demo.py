@@ -1,0 +1,177 @@
+"""Train a mid-size HPNN on variable-grid reverse-mode data and evaluate
+relative-L2 accuracy against held-out analytic solutions.
+
+Reproducible accuracy demonstration (BASELINE.md: "paper-level relative L2
+error on variable-size grids"). Runs on whatever accelerator the environment
+provides; writes a checkpoint + eval.json under checkpoints/hpnn_demo/.
+
+Usage: python scripts/train_hpnn_demo.py [--steps N] [--eval-only CKPT]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from poisson_cnn_tpu import losses
+from poisson_cnn_tpu.data import (
+    GridSamplingConfig,
+    Normalizations,
+    ReverseConfig,
+    generate_batch,
+    sample_grid_shape,
+)
+from poisson_cnn_tpu.models import HPNN, HPNNConfig
+from poisson_cnn_tpu.train.loop import save_checkpoint, restore_checkpoint
+
+MODEL = HPNNConfig(
+    pre_filters=(8, 16),
+    pre_kernel_sizes=(9, 7),
+    deconv_downsampling_factors=(2, 4, 8),
+    deconv_kernel_sizes=(2, 4, 8),
+    deconv_conv_kernel_sizes=(7, 5, 5),
+    resize_downsampling_factors=(16,),
+    resize_conv_kernel_sizes=(5,),
+    resize_methods=("bilinear",),
+    bottleneck_filters=24,
+    bottleneck_n_convs=2,
+    bottleneck_use_resnet=True,
+    final_filters=(24, 12, 6, 1),
+    final_kernel_sizes=(7, 5, 3, 3),
+    final_regular_conv_stages=2,
+    dx_mlp_units=(64, 64),
+)
+
+DATA = ReverseConfig(
+    batch_size=32,
+    grids=GridSamplingConfig(((64, 128), (64, 128)), (5e-3, 5e-2), snap=32),
+    fourier_mode_range=(1, 6),
+    taylor_degree_range=(2, 5),
+    bc="dirichlet",
+    normalizations=Normalizations(rhs_max_magnitude=1.0, max_domain_size_squared=True),
+)
+
+LOSS = losses.LossConfig(
+    mse_weight=0.5, mae_weight=1.0, integral_weight=0.0,
+    scale_sample_loss_by_target_peak_magnitude=True,
+    global_batch_size=DATA.batch_size,
+)
+
+
+def rel_l2(pred, target):
+    num = jnp.linalg.norm(pred.reshape(pred.shape[0], -1), axis=1)
+    den = jnp.linalg.norm(target.reshape(target.shape[0], -1), axis=1)
+    return num / den
+
+
+def evaluate(model, params, n_batches=4, seed=10_000):
+    errs = []
+    for i in range(n_batches):
+        shape = (97, 97) if i % 2 == 0 else (65, 129)
+        batch = generate_batch(jax.random.PRNGKey(seed + i), DATA, shape)
+        pred = jax.jit(model.apply, static_argnames=())(
+            params, batch["rhs"], batch["dx"]
+        )
+        errs.append(np.asarray(rel_l2(pred - batch["soln"], batch["soln"])))
+    e = np.concatenate(errs)
+    return {"rel_l2_mean": float(e.mean()), "rel_l2_median": float(np.median(e)),
+            "rel_l2_p90": float(np.percentile(e, 90)), "n": int(e.size)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--eval-only", default=None)
+    p.add_argument("--out", default="/root/repo/checkpoints/hpnn_demo")
+    args = p.parse_args()
+
+    model = HPNN(MODEL)
+    rng = np.random.default_rng(0)
+    init_shape = (97, 97)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1,) + init_shape + (1,)),
+            jnp.full((1, 1), 0.01),
+        )
+    params = jax.device_put(params, jax.devices()[0])
+
+    if args.eval_only:
+        params, _ = restore_checkpoint(args.eval_only, params)
+        print(json.dumps(evaluate(model, params)))
+        return
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.cosine_decay_schedule(args.lr, args.steps, 0.05)),
+    )
+    opt_state = jax.device_put(tx.init(params), jax.devices()[0])
+
+    step_cache = {}
+
+    def make_step(shape):
+        @jax.jit
+        def step(params, opt_state, key):
+            def loss_fn(p):
+                batch = generate_batch(key, DATA, shape)
+                pred = model.apply(p, batch["rhs"], batch["dx"])
+                return losses.loss_wrapper(
+                    LOSS, batch["soln"], pred, batch["rhs"], batch["dx"]
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        return step
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    running = []
+    for it in range(args.steps):
+        shape = sample_grid_shape(rng, DATA.grids)
+        if shape not in step_cache:
+            print(f"[{it}] compiling shape {shape}", flush=True)
+            step_cache[shape] = make_step(shape)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step_cache[shape](params, opt_state, sub)
+        running.append(float(loss))
+        if (it + 1) % 200 == 0:
+            print(
+                f"step {it+1}: loss={np.mean(running[-200:]):.5f} "
+                f"({(it+1)/(time.time()-t0):.2f} steps/s)",
+                flush=True,
+            )
+            if not np.isfinite(running[-1]):
+                raise FloatingPointError("loss diverged")
+
+    os.makedirs(args.out, exist_ok=True)
+    path = save_checkpoint(args.out, params, args.steps)
+    metrics = evaluate(model, params)
+    metrics["final_train_loss"] = float(np.mean(running[-200:]))
+    metrics["checkpoint"] = path
+    with open(os.path.join(args.out, "eval.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()
