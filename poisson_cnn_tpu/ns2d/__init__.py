@@ -27,3 +27,4 @@ from .stepper import (
     run,
 )
 from .errors import velocity_error, pressure_error, convergence_rates
+from .errors import pressure_gradient_error, integrate_centered

@@ -130,3 +130,17 @@ def test_periodic_forcing_problems_linearized():
         yu = jnp.asarray(grid.yu)[None, :]
         scale = float(jnp.abs(problem.u_exact(xu, yu, t_end)).max()) + 1e-9
         assert verr["u"]["linf"] / scale < 5e-2, (problem.name, verr, scale)
+
+
+def test_pressure_gradient_error_and_integrate():
+    _, _, (u, v, p, grid, t_end) = _run_taylor(24, n_steps=20, method="alg2")
+    problem = ns2d.taylor_vortex()
+    gerr = ns2d.pressure_gradient_error(p, grid, problem, t_end)
+    assert gerr["gx"]["l2"] < 0.1, gerr
+    # integrate: a zero-mean field integrates to ~0, ones to the domain area
+    area = ns2d.integrate_centered(np.ones((grid.m, grid.n)), grid)
+    assert area == pytest.approx(math.pi**2, rel=1e-6)
+    # Simpson mode treats the centered samples as quadrature nodes spanning
+    # (n-1) intervals (reference-style constraint row): area is approximate
+    area_s = ns2d.integrate_centered(np.ones((grid.m, grid.n)), grid, "simpson")
+    assert area_s == pytest.approx(math.pi**2, rel=0.15)
