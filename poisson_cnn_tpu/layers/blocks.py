@@ -9,10 +9,9 @@ multi-resolution pyramid that gives the HPNN its large receptive field.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 from .core import PadConv, ResNetBlock, Upsample, DeconvUpscale, norm_layer

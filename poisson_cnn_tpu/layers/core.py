@@ -16,7 +16,6 @@ redesigned NHWC/TPU-first:
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np

@@ -14,8 +14,7 @@ a spatially flipped kernel.
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import numpy as np
 import jax

@@ -11,7 +11,7 @@ nn.RNN (lax.scan under the hood — static-shape, TPU-compatible).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,10 +27,8 @@ from ..ops import (
 from ..layers import (
     MetaBottleneckBlock,
     MetaConv,
-    MetaResNetBlock,
     spatial_pyramid_pool,
 )
-from ..utils import resolve_activation
 from .dbcnn import stable_sinh_modes
 
 

@@ -13,7 +13,7 @@ the reference's UNet lacks — it ignores dx entirely; we keep an option to matc
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ needs ILU-preconditioned BiCGStab, `solvers.py:204-334`); a pluggable
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -15,7 +15,6 @@ elementwise multiply.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import numpy as np
 import jax

@@ -15,7 +15,6 @@ mode counts are realised by zero-masking coefficients beyond each sample's count
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

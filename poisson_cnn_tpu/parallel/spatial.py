@@ -12,7 +12,6 @@ so results are bit-comparable to `solvers.jacobi_smooth`.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ sweep into a couple of stencil kernels — no per-sample kernels are materialise
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ band-limited RHS.
 from __future__ import annotations
 
 import math
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 import jax

@@ -12,9 +12,8 @@ import dataclasses
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-from ..data import ReverseConfig, sample_grid_shape
+from ..data import sample_grid_shape
 from ..parallel import create_mesh
 from .config import load_experiment
 from .loop import Trainer, restore_checkpoint

@@ -18,7 +18,6 @@ from __future__ import annotations
 import math
 import os
 import time
-from functools import partial
 from typing import Callable, Optional
 
 import numpy as np
@@ -26,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..parallel import TrainState, make_generating_train_step, replicate_sharding
+from ..parallel import TrainState, replicate_sharding
 from .config import TrainingConfig
 
 
