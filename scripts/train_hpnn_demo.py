@@ -121,9 +121,14 @@ def main():
         print(json.dumps(evaluate(model, params)))
         return
 
+    # AdamW + warmup: plain adam slowly diverges here — the dx-MLP's
+    # multiplicative channel conditioning amplifies unchecked weight growth
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, 200, args.steps, args.lr * 0.02
+    )
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adam(optax.cosine_decay_schedule(args.lr, args.steps, 0.05)),
+        optax.adamw(schedule, weight_decay=1e-3),
     )
     opt_state = jax.device_put(tx.init(params), jax.devices()[0])
 
