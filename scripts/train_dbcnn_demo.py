@@ -1,11 +1,7 @@
-"""Train a mid-size HPNN on variable-grid reverse-mode data and evaluate
-relative-L2 accuracy against held-out analytic solutions.
+"""Train a mid-size DBCNN on numerical-mode data (zero RHS, one boundary) and
+evaluate relative-L2 vs the spectral Laplace ground truth.
 
-Reproducible accuracy demonstration (BASELINE.md: "paper-level relative L2
-error on variable-size grids"). Runs on whatever accelerator the environment
-provides; writes a checkpoint + eval.json under checkpoints/hpnn_demo/.
-
-Usage: python scripts/train_hpnn_demo.py [--steps N] [--eval-only CKPT]
+Companion to scripts/train_hpnn_demo.py; writes checkpoints/dbcnn_demo/.
 """
 
 import argparse
@@ -30,70 +26,48 @@ import numpy as np
 import optax
 
 from poisson_cnn_tpu import losses
-from poisson_cnn_tpu.data import (
-    GridSamplingConfig,
-    Normalizations,
-    ReverseConfig,
-    generate_batch,
-    sample_grid_shape,
-)
-from poisson_cnn_tpu.models import HPNN, HPNNConfig
+from poisson_cnn_tpu.data import GridSamplingConfig, sample_grid_shape
+from poisson_cnn_tpu.data.numerical import NumericalConfig, generate_numerical_batch
+from poisson_cnn_tpu.models import DBCNN, DBCNNConfig
 from poisson_cnn_tpu.train.loop import save_checkpoint, restore_checkpoint
 
-MODEL = HPNNConfig(
-    pre_filters=(8, 16),
-    pre_kernel_sizes=(9, 7),
-    deconv_downsampling_factors=(2, 4, 8),
-    deconv_kernel_sizes=(2, 4, 8),
-    deconv_conv_kernel_sizes=(7, 5, 5),
-    resize_downsampling_factors=(16,),
-    resize_conv_kernel_sizes=(5,),
-    resize_methods=("bilinear",),
-    bottleneck_filters=24,
-    bottleneck_n_convs=2,
-    bottleneck_use_resnet=True,
-    final_filters=(24, 12, 6, 1),
+MODEL = DBCNNConfig(
+    boundary_filters=(4, 8, 12, 16),
+    boundary_kernel_sizes=(13, 11, 9, 7),
+    spp_levels=(2, 3, 5, 8, 13),
+    mlp_units=(128, 64),
+    n_modes=16,
+    final_filters=(12, 8, 4, 1),
     final_kernel_sizes=(7, 5, 3, 3),
     final_regular_conv_stages=2,
-    dx_mlp_units=(64, 64),
-    # bounded unit-peak output (a reference output-scaling mode): without it,
-    # unconstrained predictions enter a positive feedback loop under streaming
-    # Adam training (preds grow -> grads grow -> clip can't stop the drift)
-    output_scaling="soln_max_magnitude",
 )
 
-DATA = ReverseConfig(
+DATA = NumericalConfig(
     batch_size=32,
     grids=GridSamplingConfig(((64, 128), (64, 128)), (5e-3, 5e-2), snap=32),
-    fourier_mode_range=(1, 6),
-    taylor_degree_range=(2, 5),
-    bc="dirichlet",
-    normalizations=Normalizations(rhs_max_magnitude=1.0, soln_max_magnitude=True),
+    rhs="zero",
+    nonzero_boundaries=("left",),
+    boundary_mode_range=(2, 6),
 )
 
-# Targets are unit-peak solutions (soln_max_magnitude normalization) so a
-# plain MSE+MAE objective is well conditioned; peak-magnitude loss weighting
-# over 1/L_max^2-scaled targets (which span ~4 orders of magnitude) diverges.
 LOSS = losses.LossConfig(
     mse_weight=1.0, mae_weight=0.2, integral_weight=0.0,
     global_batch_size=DATA.batch_size,
 )
 
 
-def rel_l2(pred, target):
-    num = jnp.linalg.norm(pred.reshape(pred.shape[0], -1), axis=1)
+def rel_l2(err, target):
+    num = jnp.linalg.norm(err.reshape(err.shape[0], -1), axis=1)
     den = jnp.linalg.norm(target.reshape(target.shape[0], -1), axis=1)
     return num / den
 
 
-def evaluate(model, params, n_batches=4, seed=10_000):
+def evaluate(model, params, n_batches=4, seed=20_000):
     errs = []
     for i in range(n_batches):
-        shape = (97, 97) if i % 2 == 0 else (65, 129)
-        batch = generate_batch(jax.random.PRNGKey(seed + i), DATA, shape)
-        pred = jax.jit(model.apply, static_argnames=())(
-            params, batch["rhs"], batch["dx"]
-        )
+        shape = (97, 97) if i % 2 == 0 else (65, 97)
+        batch = generate_numerical_batch(jax.random.PRNGKey(seed + i), DATA, shape)
+        pred = model.apply(params, batch["boundaries"]["left"], batch["dx"], shape[0])
         errs.append(np.asarray(rel_l2(pred - batch["soln"], batch["soln"])))
     e = np.concatenate(errs)
     return {"rel_l2_mean": float(e.mean()), "rel_l2_median": float(np.median(e)),
@@ -102,21 +76,18 @@ def evaluate(model, params, n_batches=4, seed=10_000):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--eval-only", default=None)
-    p.add_argument("--out", default="/root/repo/checkpoints/hpnn_demo")
+    p.add_argument("--out", default="/root/repo/checkpoints/dbcnn_demo")
     args = p.parse_args()
 
-    model = HPNN(MODEL)
-    rng = np.random.default_rng(0)
-    init_shape = (97, 97)
+    model = DBCNN(MODEL)
+    rng = np.random.default_rng(1)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params = model.init(
-            jax.random.PRNGKey(0),
-            jnp.ones((1,) + init_shape + (1,)),
-            jnp.full((1, 1), 0.01),
+            jax.random.PRNGKey(0), jnp.ones((1, 97, 1)), jnp.full((1, 1), 0.01), 97
         )
     params = jax.device_put(params, jax.devices()[0])
 
@@ -125,14 +96,11 @@ def main():
         print(json.dumps(evaluate(model, params)))
         return
 
-    # AdamW + warmup: plain adam slowly diverges here — the dx-MLP's
-    # multiplicative channel conditioning amplifies unchecked weight growth
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, 200, args.steps, args.lr * 0.02
     )
     tx = optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.adamw(schedule, weight_decay=1e-3),
+        optax.clip_by_global_norm(1.0), optax.adamw(schedule, weight_decay=1e-3)
     )
     opt_state = jax.device_put(tx.init(params), jax.devices()[0])
 
@@ -142,10 +110,10 @@ def main():
         @jax.jit
         def step(params, opt_state, key):
             def loss_fn(p):
-                batch = generate_batch(key, DATA, shape)
-                pred = model.apply(p, batch["rhs"], batch["dx"])
+                batch = generate_numerical_batch(key, DATA, shape)
+                pred = model.apply(p, batch["boundaries"]["left"], batch["dx"], shape[0])
                 return losses.loss_wrapper(
-                    LOSS, batch["soln"], pred, batch["rhs"], batch["dx"]
+                    LOSS, batch["soln"], pred, jnp.zeros_like(batch["soln"]), batch["dx"]
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -154,7 +122,7 @@ def main():
 
         return step
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(2)
     t0 = time.time()
     running = []
     for it in range(args.steps):
