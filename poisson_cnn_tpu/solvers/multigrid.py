@@ -16,7 +16,19 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .iterative import jacobi_smooth, _laplacian_interior
+from .iterative import jacobi_smooth as _xla_jacobi_smooth, _laplacian_interior
+
+
+def _smooth(u, rhs, dx, n):
+    # fused Pallas sweeps on TPU for single-channel fields (17x at 256^2),
+    # XLA stencils elsewhere; multigrid smoothing is the V-cycle's hot loop
+    import jax
+
+    if jax.default_backend() == "tpu" and u.shape[-1] == 1:
+        from ..ops.pallas_kernels import _jacobi_pallas_ad
+
+        return _jacobi_pallas_ad(u, rhs, dx, n, 0.8)
+    return _xla_jacobi_smooth(u, rhs, dx, n)
 
 
 def _coarsenable_levels(n: int, min_size: int = 5) -> int:
@@ -76,7 +88,7 @@ def _residual(u, rhs, inv_dx2):
 
 
 def _v_cycle(u, rhs, dx, level: int, pre: int, post: int):
-    u = jacobi_smooth(u, rhs, dx, pre)
+    u = _smooth(u, rhs, dx, pre)
     if level > 0:
         inv_dx2 = (1.0 / dx**2).astype(u.dtype)
         res = _residual(u, rhs, inv_dx2)
@@ -89,8 +101,8 @@ def _v_cycle(u, rhs, dx, level: int, pre: int, post: int):
         ec = _v_cycle(ec, res_c, dx_c, level - 1, pre, post)
         u = u + _prolong(ec, (u.shape[1], u.shape[2]))
     else:
-        u = jacobi_smooth(u, rhs, dx, 40)
-    return jacobi_smooth(u, rhs, dx, post)
+        u = _smooth(u, rhs, dx, 40)
+    return _smooth(u, rhs, dx, post)
 
 
 def multigrid_poisson_solve(
