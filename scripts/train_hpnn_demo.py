@@ -125,14 +125,14 @@ def main():
         print(json.dumps(evaluate(model, params)))
         return
 
-    # AdamW + warmup: plain adam slowly diverges here — the dx-MLP's
-    # multiplicative channel conditioning amplifies unchecked weight growth
+    # plain Adam works once the output is bounded (weight decay erodes the
+    # fit here; the earlier divergence was the unbounded output head)
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, 200, args.steps, args.lr * 0.02
+        0.0, args.lr, 200, args.steps, args.lr * 0.05
     )
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(schedule, weight_decay=1e-3),
+        optax.adam(schedule),
     )
     opt_state = jax.device_put(tx.init(params), jax.devices()[0])
 
