@@ -15,3 +15,13 @@ from scratch with a TPU-first design:
 __version__ = "0.1.0"
 
 from . import ops
+from . import solvers
+from . import layers
+from . import losses
+from . import data
+from . import models
+from . import parallel
+from . import utils
+from . import ns2d
+from . import train
+from . import native

@@ -16,3 +16,4 @@ from .analytical import (
     analytical_solution_for_rhs,
     generate_analytical_batch,
 )
+from .reverse_nd import ReverseNDConfig, generate_batch_nd

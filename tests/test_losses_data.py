@@ -179,3 +179,26 @@ def test_scale_by_target_peak_magnitude():
                             scale_sample_loss_by_target_peak_magnitude=True)
     # mse per sample = peak^2; scaled by 1/peak^2 -> each contributes 1 -> mean 1
     assert float(losses.loss_wrapper(cfg, y, p, y, dx)) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_reverse_nd_generator_3d_and_1d():
+    """N-D generator: physics residual ~ 0 in 3-D and 1-D; 3-D spectral solve
+    recovers the generated solution."""
+    from poisson_cnn_tpu import solvers
+    from poisson_cnn_tpu.data import ReverseNDConfig, generate_batch_nd
+
+    cfg = ReverseNDConfig(batch_size=2, fourier_mode_range=(1, 4))
+    b3 = generate_batch_nd(jax.random.PRNGKey(0), cfg, (33, 29, 31))
+    lap = ops.apply_fd_operator(b3["soln"], b3["dx"], 5, 2)
+    rel = float(jnp.linalg.norm(lap - b3["rhs"][:, 2:-2, 2:-2, 2:-2, :])
+                / jnp.linalg.norm(b3["rhs"]))
+    assert rel < 5e-2, rel
+    u = solvers.poisson_solve_dirichlet(b3["rhs"], b3["dx"], mode="continuous")
+    rel_u = float(jnp.linalg.norm(u - b3["soln"]) / jnp.linalg.norm(b3["soln"]))
+    assert rel_u < 1e-3, rel_u
+
+    b1 = generate_batch_nd(jax.random.PRNGKey(1), cfg, (65,))
+    lap1 = ops.apply_fd_operator(b1["soln"], b1["dx"], 5, 2)
+    rel1 = float(jnp.linalg.norm(lap1 - b1["rhs"][:, 2:-2, :])
+                 / jnp.linalg.norm(b1["rhs"]))
+    assert rel1 < 5e-2, rel1
