@@ -62,6 +62,25 @@ MODEL = HPNNConfig(
     output_scaling="soln_max_magnitude",
 )
 
+BIG_MODEL = HPNNConfig(
+    pre_filters=(8, 16, 32),
+    pre_kernel_sizes=(11, 9, 7),
+    deconv_downsampling_factors=(2, 4, 8, 16),
+    deconv_kernel_sizes=(2, 4, 8, 16),
+    deconv_conv_kernel_sizes=(7, 7, 5, 5),
+    resize_downsampling_factors=(32,),
+    resize_conv_kernel_sizes=(5,),
+    resize_methods=("bilinear",),
+    bottleneck_filters=32,
+    bottleneck_n_convs=2,
+    bottleneck_use_resnet=True,
+    final_filters=(32, 16, 8, 4, 1),
+    final_kernel_sizes=(7, 5, 5, 3, 3),
+    final_regular_conv_stages=2,
+    dx_mlp_units=(100, 100),
+    output_scaling="soln_max_magnitude",
+)
+
 DATA = ReverseConfig(
     batch_size=32,
     grids=GridSamplingConfig(((64, 128), (64, 128)), (5e-3, 5e-2), snap=32),
@@ -103,12 +122,13 @@ def evaluate(model, params, n_batches=4, seed=10_000):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--big", action="store_true")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--eval-only", default=None)
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_demo")
     args = p.parse_args()
 
-    model = HPNN(MODEL)
+    model = HPNN(BIG_MODEL if args.big else MODEL)
     rng = np.random.default_rng(0)
     init_shape = (97, 97)
     cpu = jax.devices("cpu")[0]
