@@ -292,3 +292,29 @@ def test_numerical_solver_selection():
             results["spectral"]
         )
         assert rel < 1e-3, (other, rel)
+
+
+def test_evaluation_module_solver_floor():
+    """The FD spectral solver hits near-zero rel-L2 on un-normalized reverse
+    data — the evaluation harness' sanity anchor."""
+    from poisson_cnn_tpu import evaluation, solvers
+    from poisson_cnn_tpu.data import Normalizations, ReverseConfig
+
+    cfg = ReverseConfig(
+        batch_size=4,
+        grids=GridSamplingConfig(((48, 64), (48, 64)), (0.01, 0.05)),
+        fourier_mode_range=(1, 4),
+        taylor_degree_range=(2, 4),
+        normalizations=Normalizations(),  # no normalization
+    )
+    out = evaluation.solver_baseline(
+        lambda rhs, dx: solvers.poisson_solve_dirichlet(rhs, dx, mode="fd"),
+        cfg, grid_shapes=((49, 49),), n_batches=2,
+    )
+    assert out["rel_l2_mean"] < 5e-2, out  # FD truncation floor
+    # an untrained "model" (zero predictor) must score rel_l2 = 1
+    out0 = evaluation.evaluate_hpnn(
+        lambda rhs, dx: jnp.zeros_like(rhs), cfg, grid_shapes=((49, 49),),
+        n_batches=1,
+    )
+    assert out0["rel_l2_mean"] == pytest.approx(1.0, rel=1e-5)
