@@ -94,6 +94,10 @@ def build_model_config(payload: dict):
         return _build(MetaHPNNConfig, payload)
     if kind == "meta_dbcnn":
         return _build(MetaDBCNNConfig, payload)
+    if kind == "fluidnet_hpnn":
+        from ..models import FluidnetHPNNConfig
+
+        return _build(FluidnetHPNNConfig, payload)
     if kind == "pcnn":
         hpnn = _build(HPNNConfig, payload.pop("hpnn", {}))
         dbcnn = _build(DBCNNConfig, payload.pop("dbcnn", {}))

@@ -7,13 +7,15 @@ Usage: python -m poisson_cnn_tpu.train.dbcnn_train <config.json> [...]
 import jax
 import jax.numpy as jnp
 
-from ..models import DBCNN
+from ..models import DBCNN, DBCNNConfig, MetaDBCNN, MetaDBCNNConfig
 from .cli import run
 from .tasks import dbcnn_step_factory
 
+_MODELS = {DBCNNConfig: DBCNN, MetaDBCNNConfig: MetaDBCNN}
+
 
 def _build(cfg):
-    return DBCNN(cfg)
+    return _MODELS[type(cfg)](cfg)
 
 
 def _init(model, data_cfg, grid_shape, key):

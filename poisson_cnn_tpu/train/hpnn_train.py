@@ -11,13 +11,31 @@ model section + `"bc": "neumann"` in the dataset section.)
 import jax
 import jax.numpy as jnp
 
-from ..models import HPNN
+from ..models import (
+    HPNN,
+    HPNNConfig,
+    FluidnetHPNN,
+    FluidnetHPNNConfig,
+    FourierAutoencoderHPNN,
+    FourierAutoencoderConfig,
+    MetaHPNN,
+    MetaHPNNConfig,
+)
 from .cli import run
 from .tasks import hpnn_step_factory
 
+# model_type dispatch (the reference's `hpnn_train.py:24-30` selects
+# cnn_metalearning / cnn / autoencoder): the config's class picks the model
+_MODELS = {
+    HPNNConfig: HPNN,
+    MetaHPNNConfig: MetaHPNN,
+    FourierAutoencoderConfig: FourierAutoencoderHPNN,
+    FluidnetHPNNConfig: FluidnetHPNN,
+}
+
 
 def _build(cfg):
-    return HPNN(cfg)
+    return _MODELS[type(cfg)](cfg)
 
 
 def _init(model, data_cfg, grid_shape, key):

@@ -318,3 +318,37 @@ def test_evaluation_module_solver_floor():
         n_batches=1,
     )
     assert out0["rel_l2_mean"] == pytest.approx(1.0, rel=1e-5)
+
+
+def test_all_shipped_experiment_configs_parse():
+    import glob
+    from poisson_cnn_tpu.train import load_experiment
+
+    paths = sorted(glob.glob("experiments/*.json"))
+    assert len(paths) >= 9, paths
+    for path in paths:
+        model_cfg, data_cfg, train_cfg = load_experiment(path)
+        hash(model_cfg), hash(data_cfg)  # static-arg hashability
+
+
+def test_hpnn_train_model_type_dispatch(tmp_path):
+    """hpnn_train dispatches by config type (reference model_type selection)."""
+    exp = json.loads(json.dumps(TINY_HPNN_EXPERIMENT))
+    exp["model"] = {
+        "type": "meta_hpnn",
+        "pre_filters": [4], "pre_kernel_sizes": [5],
+        "bottleneck_downsampling_factors": [2],
+        "bottleneck_conv_kernel_sizes": [3],
+        "bottleneck_deconv_kernel_sizes": [2],
+        "bottleneck_upsample_modes": ["deconv"],
+        "bottleneck_filters": 8, "bottleneck_n_convs": 1,
+        "final_filters": [8, 1], "final_kernel_sizes": [3, 3],
+        "hidden_units": [8, 8],
+    }
+    exp["training"]["n_epochs"] = 1
+    exp["training"]["steps_per_epoch"] = 2
+    path = _write_cfg(str(tmp_path), exp)
+    from poisson_cnn_tpu.train.hpnn_train import main
+
+    trainer, state = main([path])
+    assert np.isfinite(trainer.history[-1])
