@@ -118,15 +118,23 @@ def make_generating_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(
-    model_apply: Callable, mesh: Optional[Mesh] = None
-):
-    """Jitted forward step with batch sharded over 'data'."""
-
-    def fwd(params, *args):
-        return model_apply(params, *args)
+def make_eval_step(model_apply: Callable, mesh: Optional[Mesh] = None):
+    """Jitted inference step. With a mesh, the leading (batch) axis of every
+    array argument is sharded over 'data' so large evaluation batches split
+    across chips (DP inference)."""
 
     if mesh is None:
-        return jax.jit(fwd)
-    repl = replicate_sharding(mesh)
-    return jax.jit(fwd, in_shardings=None, out_shardings=None)
+        return jax.jit(model_apply)
+
+    def fwd(params, *args):
+        args = tuple(
+            jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
+            )
+            if hasattr(a, "ndim") and a.ndim > 0
+            else a
+            for a in args
+        )
+        return model_apply(params, *args)
+
+    return jax.jit(fwd)

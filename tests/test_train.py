@@ -352,3 +352,17 @@ def test_hpnn_train_model_type_dispatch(tmp_path):
 
     trainer, state = main([path])
     assert np.isfinite(trainer.history[-1])
+
+
+def test_make_eval_step_dp_inference():
+    from poisson_cnn_tpu.parallel import create_mesh, make_eval_step
+    from poisson_cnn_tpu.models import UNet, UNetConfig
+
+    mesh = create_mesh(8)
+    model = UNet(UNetConfig(depth=2, root_features=4))
+    rhs = jnp.ones((16, 32, 32, 1))
+    dx = jnp.full((16, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), rhs, dx)
+    step = make_eval_step(lambda p, r, d: model.apply(p, r, d), mesh)
+    out = step(params, rhs, dx)
+    assert out.shape == rhs.shape and bool(jnp.isfinite(out).all())
