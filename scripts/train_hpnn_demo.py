@@ -79,6 +79,7 @@ BIG_MODEL = HPNNConfig(
     final_regular_conv_stages=2,
     dx_mlp_units=(100, 100),
     output_scaling="soln_max_magnitude",
+    use_batchnorm=True,  # GroupNorm here; the reference config also normalizes
 )
 
 DATA = ReverseConfig(
