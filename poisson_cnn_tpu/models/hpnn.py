@@ -34,12 +34,6 @@ from ..ops import (
     peak_magnitudes,
     set_max_magnitude_in_batch,
 )
-
-
-def _safe_unit_peak(arr):
-    peaks = peak_magnitudes(arr)
-    safe = jnp.where(peaks > 0, peaks, 1.0)
-    return arr / safe.reshape((-1,) + (1,) * (arr.ndim - 1)), peaks
 from ..layers import (
     BottleneckBlock,
     JacobiIterationLayer,
@@ -49,6 +43,12 @@ from ..layers import (
     norm_layer,
 )
 from ..utils import resolve_activation
+
+
+def _safe_unit_peak(arr):
+    peaks = peak_magnitudes(arr)
+    safe = jnp.where(peaks > 0, peaks, 1.0)
+    return arr / safe.reshape((-1,) + (1,) * (arr.ndim - 1)), peaks
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +77,8 @@ class HPNNConfig:
     use_batchnorm: bool = False
     use_positional_embeddings: bool = True
     use_scaling: bool = False
+    remat_branches: bool = False  # rematerialize bottleneck branches under AD
+    # (trades recompute for activation memory on 384^2-512^2 training grids)
     postsmoother_iterations: int = 0
     bc_type: str = "dirichlet"  # 'dirichlet' | 'neumann'
     dtype: Optional[str] = None  # e.g. 'bfloat16' compute dtype
@@ -135,6 +137,14 @@ class HPNN(nn.Module):
                 x = norm_layer(dtype)(x)
 
         # multi-resolution branches (skip factors too large for the grid)
+        # remat: `train` is omitted from rematted calls (it only gates the
+        # stateless norm layers, which ignore it) so no static args are needed
+        block_cls = (
+            nn.remat(BottleneckBlock) if cfg.remat_branches else BottleneckBlock
+        )
+        # explicit names = the plain auto-names, so parameters are
+        # interchangeable between remat and non-remat configurations
+        branch_index = 0
         branch_results = []
         for ds, dk, ck in zip(
             cfg.deconv_downsampling_factors,
@@ -144,7 +154,7 @@ class HPNN(nn.Module):
             if min(H, W) < 2 * ds:
                 continue
             branch_results.append(
-                BottleneckBlock(
+                block_cls(
                     downsampling_factor=ds,
                     filters=cfg.bottleneck_filters,
                     conv_kernel_size=ck,
@@ -157,8 +167,10 @@ class HPNN(nn.Module):
                     use_resnet=cfg.bottleneck_use_resnet,
                     use_batchnorm=cfg.use_batchnorm,
                     padding_mode="symmetric",
-                )(x, train=train)
+                    name=f"BottleneckBlock_{branch_index}",
+                )(x)
             )
+            branch_index += 1
         for ds, ck, rm in zip(
             cfg.resize_downsampling_factors,
             cfg.resize_conv_kernel_sizes,
@@ -167,7 +179,7 @@ class HPNN(nn.Module):
             if min(H, W) < 2 * ds:
                 continue
             branch_results.append(
-                BottleneckBlock(
+                block_cls(
                     downsampling_factor=ds,
                     filters=cfg.bottleneck_filters,
                     conv_kernel_size=ck,
@@ -180,8 +192,10 @@ class HPNN(nn.Module):
                     use_resnet=cfg.bottleneck_use_resnet,
                     use_batchnorm=cfg.use_batchnorm,
                     padding_mode="constant",
-                )(x, train=train)
+                    name=f"BottleneckBlock_{branch_index}",
+                )(x)
             )
+            branch_index += 1
         non_bottleneck = PadConv(cfg.bottleneck_filters, 5, "leaky_relu", dtype=dtype)(x)
         if branch_results:
             merged = sum(branch_results) / float(

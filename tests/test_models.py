@@ -245,3 +245,21 @@ def test_hpnn_output_scaling_modes():
             )
     with pytest.raises(ValueError):
         dataclasses.replace(SMALL_HPNN, output_scaling="bogus")
+
+
+def test_hpnn_remat_branches_matches_plain():
+    """remat_branches changes memory use, not values or gradients."""
+    import dataclasses
+
+    rhs = jax.random.normal(jax.random.PRNGKey(30), (2, 48, 48, 1))
+    dx = jnp.full((2, 1), 0.02)
+    m0 = HPNN(SMALL_HPNN)
+    m1 = HPNN(dataclasses.replace(SMALL_HPNN, remat_branches=True))
+    params = m0.init(jax.random.PRNGKey(0), rhs, dx)
+    y0 = m0.apply(params, rhs, dx)
+    y1 = m1.apply(params, rhs, dx)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+    g0 = jax.grad(lambda p: jnp.sum(m0.apply(p, rhs, dx) ** 2))(params)
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, rhs, dx) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
