@@ -224,3 +224,28 @@ def test_pallas_jacobi_matches_xla_reference():
     want = jacobi_smooth(u, rhs, dx, 10, omega=2.0 / 3.0)
     got = jacobi_smooth_pallas(u, rhs, dx, 10, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_per_sample_conv_dilation_matches_lax():
+    key = jax.random.PRNGKey(12)
+    B, H, W, Cin, Cout, k = 2, 12, 12, 2, 3, 3
+    x = jax.random.normal(key, (B, H, W, Cin))
+    kernels = jax.random.normal(jax.random.PRNGKey(13), (B, Cin, k, k, Cout))
+    got = layers.per_sample_conv(x, kernels, dilation=(2, 2))
+
+    def one(xb, kb):
+        w = jnp.transpose(kb, (1, 2, 0, 3))
+        return jax.lax.conv_general_dilated(
+            xb[None], w, (1, 1), [(2, 2), (2, 2)], rhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0]
+
+    want = jax.vmap(one)(x, kernels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_upsample_nearest():
+    x = jnp.arange(4.0).reshape(1, 4, 1, 1)
+    y = layers.Upsample("nearest").apply({}, x, (8, 1))
+    assert y.shape == (1, 8, 1, 1)
+    np.testing.assert_allclose(np.asarray(y[0, :2, 0, 0]), [0.0, 0.0])

@@ -202,3 +202,15 @@ def test_reverse_nd_generator_3d_and_1d():
     rel1 = float(jnp.linalg.norm(lap1 - b1["rhs"][:, 2:-2, :])
                  / jnp.linalg.norm(b1["rhs"]))
     assert rel1 < 5e-2, rel1
+
+
+def test_physics_informed_loss_normalized():
+    cfg = _cfg()
+    batch = generate_batch(jax.random.PRNGKey(9), cfg, (64, 64))
+    v_plain = losses.physics_informed_loss(batch["rhs"], batch["soln"], batch["dx"])
+    v_norm = losses.physics_informed_loss(
+        batch["rhs"], batch["soln"], batch["dx"], normalize=True
+    )
+    peaks = np.asarray(ops.peak_magnitudes(batch["rhs"]))
+    assert float(v_norm) <= float(v_plain) / peaks.min() ** 2 + 1e-6
+    assert np.isfinite(float(v_norm))

@@ -263,3 +263,25 @@ def test_hpnn_remat_branches_matches_plain():
     g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, rhs, dx) ** 2))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_models_with_postsmoother():
+    """Jacobi postsmoother paths inside HPNN and DBCNN."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL_HPNN, postsmoother_iterations=3)
+    m = HPNN(cfg)
+    rhs = jax.random.normal(jax.random.PRNGKey(40), (1, 48, 48, 1))
+    dx = jnp.full((1, 1), 0.02)
+    params = m.init(jax.random.PRNGKey(0), rhs, dx)
+    out = m.apply(params, rhs, dx)
+    assert bool(jnp.isfinite(out).all())
+    g = jax.grad(lambda p: jnp.sum(m.apply(p, rhs, dx) ** 2))(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
+
+    dcfg = dataclasses.replace(SMALL_DBCNN, postsmoother_iterations=2)
+    dm = DBCNN(dcfg)
+    bc = jax.random.normal(jax.random.PRNGKey(41), (1, 40, 1))
+    dparams = dm.init(jax.random.PRNGKey(0), bc, dx, 32)
+    dout = dm.apply(dparams, bc, dx, 32)
+    assert dout.shape == (1, 32, 40, 1) and bool(jnp.isfinite(dout).all())
