@@ -97,11 +97,9 @@ def main():
         return
 
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, 200, args.steps, args.lr * 0.02
+        0.0, args.lr, 200, args.steps, args.lr * 0.05
     )
-    tx = optax.chain(
-        optax.clip_by_global_norm(1.0), optax.adamw(schedule, weight_decay=1e-3)
-    )
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(schedule))
     opt_state = jax.device_put(tx.init(params), jax.devices()[0])
 
     step_cache = {}
@@ -125,6 +123,8 @@ def main():
     key = jax.random.PRNGKey(2)
     t0 = time.time()
     running = []
+    best_window = [float("inf")]
+    best_params = [None]
     for it in range(args.steps):
         shape = sample_grid_shape(rng, DATA.grids)
         if shape not in step_cache:
@@ -134,15 +134,22 @@ def main():
         params, opt_state, loss = step_cache[shape](params, opt_state, sub)
         running.append(float(loss))
         if (it + 1) % 200 == 0:
+            window = float(np.mean(running[-200:]))
             print(
-                f"step {it+1}: loss={np.mean(running[-200:]):.5f} "
+                f"step {it+1}: loss={window:.5f} "
                 f"({(it+1)/(time.time()-t0):.2f} steps/s)",
                 flush=True,
             )
             if not np.isfinite(running[-1]):
                 raise FloatingPointError("loss diverged")
+            if window < best_window[0]:
+                best_window[0] = window
+                best_params[0] = jax.device_get(params)
 
     os.makedirs(args.out, exist_ok=True)
+    if best_params[0] is not None and best_window[0] < float(np.mean(running[-200:])):
+        params = jax.device_put(best_params[0], jax.devices()[0])
+        print(f"using best-window params (loss {best_window[0]:.5f})", flush=True)
     path = save_checkpoint(args.out, params, args.steps)
     metrics = evaluate(model, params)
     metrics["final_train_loss"] = float(np.mean(running[-200:]))
