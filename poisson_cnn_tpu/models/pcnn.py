@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import compute_domain_sizes, peak_magnitudes
+from ..ops import apply_fd_operator, compute_domain_sizes, peak_magnitudes
 from ..layers import JacobiIterationLayer
 from .hpnn import HPNN, HPNNConfig
 from .dbcnn import DBCNN, DBCNNConfig
@@ -51,6 +51,16 @@ class PCNNConfig:
     hpnn: HPNNConfig = HPNNConfig()
     dbcnn: DBCNNConfig = DBCNNConfig()
     jacobi_iterations: int = 0
+    # how to restore the homogeneous field's physical amplitude:
+    # 'domain' — multiply by L_max^2 * peak(rhs) (reference convention; assumes
+    #   the HPNN was trained on 1/L_max^2-normalized solutions);
+    # 'match_peak_laplacian' — scale so peak|lap(u_h)| == peak|rhs| (the
+    #   reference's match-peak output mode; works with unit-peak-trained HPNNs)
+    hpnn_scale_mode: str = "domain"
+
+    def __post_init__(self):
+        if self.hpnn_scale_mode not in ("domain", "match_peak_laplacian"):
+            raise ValueError(f"unknown hpnn_scale_mode {self.hpnn_scale_mode}")
 
 
 class PCNN(nn.Module):
@@ -84,8 +94,13 @@ class PCNN(nn.Module):
         dbcnn = DBCNN(self.cfg.dbcnn)
 
         L = compute_domain_sizes(dx2, (H, W))
-        hpnn_scale = jnp.max(L, axis=1) ** 2 * rhs_peak
-        u_h = hpnn(rhs_n, dx2, train=train) * hpnn_scale[:, None, None, None]
+        u_h_raw = hpnn(rhs_n, dx2, train=train)
+        if self.cfg.hpnn_scale_mode == "match_peak_laplacian":
+            lap = apply_fd_operator(u_h_raw, dx2, 5, 2)
+            hpnn_scale = rhs_peak / (peak_magnitudes(lap) + 1e-30)
+        else:
+            hpnn_scale = jnp.max(L, axis=1) ** 2 * rhs_peak
+        u_h = u_h_raw * hpnn_scale[:, None, None, None]
 
         # left edge (i = 0): canonical orientation, no mapping needed
         u_l = dbcnn(left_n, dx2, H, train=train) * left_peak[:, None, None, None]

@@ -48,6 +48,9 @@ DATA = NumericalConfig(
     rhs="zero",
     nonzero_boundaries=("left",),
     boundary_mode_range=(2, 6),
+    # unit-peak BCs: the DBCNN's output is peak-normalized by construction and
+    # the combined PCNN always feeds it unit-normalized boundaries
+    magnitude_range=(1.0, 1.0),
 )
 
 LOSS = losses.LossConfig(
