@@ -98,14 +98,26 @@ def cg_pressure_solver(grid: MACGrid, n_iterations: int = 200,
     return solve
 
 
-def cnn_pressure_initializer(model, params, grid: MACGrid):
+def cnn_pressure_initializer(model, params, grid: MACGrid, match_peak: bool = True):
     """Wrap a trained (Neumann) HPNN as a pressure-Poisson initial guess:
-    rhs (m, n) -> phi0 (m, n)."""
+    rhs (m, n) -> phi0 (m, n).
+
+    match_peak rescales the prediction so peak|lap(phi0)| == peak|rhs| — needed
+    when the model was trained on peak-normalized inputs/targets (the stable
+    training recipe); the initial guess must live on the physical scale."""
+    from ..ops import apply_fd_operator, peak_magnitudes
 
     def init(rhs):
         r = rhs[None, :, :, None]
         dx = jnp.asarray([[grid.dx, grid.dy]], dtype=rhs.dtype)
-        out = model.apply(params, r, dx)
+        rhs_peak = peak_magnitudes(r)
+        safe = jnp.where(rhs_peak > 0, rhs_peak, 1.0)
+        out = model.apply(params, r / safe[:, None, None, None], dx)
+        if match_peak:
+            lap = apply_fd_operator(out, dx, 5, 2)
+            out = out * (rhs_peak / (peak_magnitudes(lap) + 1e-30))[:, None, None, None]
+        else:
+            out = out * safe[:, None, None, None]
         return out[0, :, :, 0]
 
     return init

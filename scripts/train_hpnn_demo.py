@@ -124,12 +124,20 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--big", action="store_true")
+    p.add_argument("--neumann", action="store_true")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--eval-only", default=None)
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_demo")
     args = p.parse_args()
 
-    model = HPNN(BIG_MODEL if args.big else MODEL)
+    import dataclasses as _dc
+
+    global DATA
+    model_cfg = BIG_MODEL if args.big else MODEL
+    if args.neumann:
+        model_cfg = _dc.replace(model_cfg, bc_type="neumann")
+        DATA = _dc.replace(DATA, bc="neumann", include_taylor=False)
+    model = HPNN(model_cfg)
     rng = np.random.default_rng(0)
     init_shape = (97, 97)
     cpu = jax.devices("cpu")[0]
