@@ -210,6 +210,10 @@ def main():
             if window < best_window[0]:
                 best_window[0] = window
                 best_params[0] = jax.device_get(params)
+                # crash-safe: persist the best-so-far immediately (long TPU
+                # runs can wedge on remote-RPC hiccups)
+                os.makedirs(args.out, exist_ok=True)
+                save_checkpoint(args.out, best_params[0], it + 1)
 
     os.makedirs(args.out, exist_ok=True)
     if best_params[0] is not None and best_window[0] < float(np.mean(running[-200:])):
