@@ -98,13 +98,25 @@ def cg_pressure_solver(grid: MACGrid, n_iterations: int = 200,
     return solve
 
 
-def cnn_pressure_initializer(model, params, grid: MACGrid, match_peak: bool = True):
+def cnn_pressure_initializer(
+    model, params, grid: MACGrid, match_peak: bool = True,
+    noise_floor: float = 0.0,
+):
     """Wrap a trained (Neumann) HPNN as a pressure-Poisson initial guess:
     rhs (m, n) -> phi0 (m, n).
 
     match_peak rescales the prediction so peak|lap(phi0)| == peak|rhs| — needed
     when the model was trained on peak-normalized inputs/targets (the stable
-    training recipe); the initial guess must live on the physical scale."""
+    training recipe); the initial guess must live on the physical scale.
+
+    noise_floor (> 0): return the zero guess when peak|rhs| is below it. On
+    nearly divergence-free flows the pressure RHS is discretization noise; the
+    unit-peak normalization then amplifies it far outside the training
+    distribution and the warm start destabilizes the projection loop — this is
+    consistent with the reference ultimately shipping with its CNN start
+    disabled (`Navier_Stokes_2D/solvers.py:244-267`, commented out in favour of
+    zero-init BiCGStab). The warm start is a win for standalone Poisson solves
+    on in-distribution RHS fields (see scripts/cnn_accelerated_solve.py)."""
     from ..ops import apply_fd_operator, peak_magnitudes
 
     def init(rhs):
@@ -118,7 +130,10 @@ def cnn_pressure_initializer(model, params, grid: MACGrid, match_peak: bool = Tr
             out = out * (rhs_peak / (peak_magnitudes(lap) + 1e-30))[:, None, None, None]
         else:
             out = out * safe[:, None, None, None]
-        return out[0, :, :, 0]
+        out = out[0, :, :, 0]
+        if noise_floor > 0:
+            out = jnp.where(rhs_peak[0] > noise_floor, out, jnp.zeros_like(out))
+        return out
 
     return init
 
