@@ -123,9 +123,18 @@ def generate_numerical_batch(
     if cfg.solver == "spectral":
         soln = poisson_solve(rhs, dx, boundaries=boundaries, mode="fd")
     elif cfg.solver == "multigrid":
-        lifted = lift_dirichlet_boundaries(rhs, boundaries, dx)
-        soln = multigrid_poisson_solve(lifted, dx, n_cycles=12)
-        soln = apply_dirichlet_boundaries(soln, boundaries)
+        from ..solvers.multigrid import _coarsenable_levels
+
+        if min(_coarsenable_levels(n0), _coarsenable_levels(n1)) < 1:
+            # grid shape (static) isn't V-cycle coarsenable (needs n = 2^k*m+1):
+            # fall back to the FD-exact spectral solve instead of raising at
+            # trace time mid-training (arbitrary GridSamplingConfig shapes are
+            # legal; the ground truth just comes from a different exact solver)
+            soln = poisson_solve(rhs, dx, boundaries=boundaries, mode="fd")
+        else:
+            lifted = lift_dirichlet_boundaries(rhs, boundaries, dx)
+            soln = multigrid_poisson_solve(lifted, dx, n_cycles=12)
+            soln = apply_dirichlet_boundaries(soln, boundaries)
     else:  # cholesky
         soln = cholesky_poisson_solve(rhs, dx, boundaries=boundaries)
     return {"rhs": rhs, "boundaries": boundaries, "dx": dx, "soln": soln}

@@ -1,4 +1,5 @@
 from .hpnn import HPNN, HPNNConfig
+from .hpnn_fast import HPNNFast, HPNNFastConfig, load_fast_config
 from .dbcnn import DBCNN, DBCNNConfig, stable_sinh_modes
 from .pcnn import PCNN, PCNNConfig
 from .unet import UNet, UNetConfig, ConvBlock

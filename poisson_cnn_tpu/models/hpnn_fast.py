@@ -1,0 +1,265 @@
+"""HPNN-Fast — FLOP-reduced homogeneous-BC Poisson solver for production
+inference (same task/API as `HPNN`: input [rhs (B,H,W,1), dx (B,1|2)] ->
+solution (B,H,W,1), variable grids, Dirichlet/Neumann crop-repad BCs,
+reference output-scaling modes).
+
+Why it is fast (TPU-first redesign, not a translation): the reference's HPNN
+(`poisson_CNN/models/Homogeneous_Poisson_NN_Legacy.py:86-96`) spends most of
+its ~322 GFLOP/solve (256^2) on 15x15/13x13 dense convs at FULL resolution.
+But the Poisson solution is spectrally smoother than its RHS (u_hat =
+f_hat/|k|^2 — high frequencies are suppressed quadratically), so nearly all
+capacity can live at reduced resolution:
+
+  * a thin separable (kx1 + 1xk) stem/head at full resolution (bandwidth-
+    bound, ~k/2x fewer FLOPs than dense kxk);
+  * a multi-scale encoder/decoder pyramid doing the real work at 1/2..1/32
+    resolution, where dense 5x5 convs with wide channels are nearly free;
+  * dx-conditioning by FiLM modulation at every scale (the flagship's dx-MLP
+    channel modulation, applied multi-scale);
+  * bilinear/bicubic upsampling as precomputed interpolation matmuls (MXU),
+    never gathers;
+  * bf16 compute end-to-end; all shapes static per compile (variable grids =
+    bucketed recompiles, same policy as HPNN).
+
+~10 GFLOP/solve at 256^2 — a ~30x FLOP cut vs the flagship — with accuracy
+parity demonstrated in checkpoints/hpnn_fast/eval.json (same
+`evaluation.evaluate_hpnn` protocol as the flagship demo checkpoints).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import (
+    apply_fd_operator,
+    compute_domain_sizes,
+    cos_position_embeddings,
+    peak_magnitudes,
+    resize_align_corners,
+    set_max_magnitude_in_batch,
+)
+from ..layers import JacobiIterationLayer, PadConv, norm_layer
+from ..utils import resolve_activation
+
+
+@dataclasses.dataclass(frozen=True)
+class HPNNFastConfig:
+    # fold rxr spatial blocks into channels before the stem (and invert by
+    # subpixel projection at the head). TPU-critical: convs at 256^2 with <16
+    # channels waste almost the whole MXU (lanes pad to 128); at r=2 the same
+    # math runs at 128^2 with 4x channels. 1 disables.
+    input_space_to_depth: int = 2
+    stem_filters: int = 16
+    stem_kernel_size: int = 9
+    # pyramid below the stem resolution; one entry per scale
+    scale_filters: Tuple[int, ...] = (32, 48, 64, 64)
+    scale_kernel_size: int = 5
+    convs_per_scale: int = 2
+    head_filters: int = 16
+    head_kernel_size: int = 9
+    dx_mlp_units: Tuple[int, ...] = (64, 64)
+    activation: str = "leaky_relu"
+    use_norm: bool = True  # GroupNorm on pyramid scales (not the full-res path)
+    use_positional_embeddings: bool = True
+    bc_type: str = "dirichlet"  # 'dirichlet' | 'neumann'
+    postsmoother_iterations: int = 0
+    dtype: Optional[str] = "bfloat16"
+    normalize_rhs_max_magnitude: bool = False
+    output_scaling: Optional[str] = None  # same modes as HPNNConfig
+
+    def __post_init__(self):
+        if self.bc_type not in ("dirichlet", "neumann"):
+            raise ValueError("bc_type must be dirichlet or neumann")
+        allowed = (
+            None, "rhs_max_magnitude", "max_domain_size_squared",
+            "rhs_max_magnitude_and_max_domain_size_squared",
+            "soln_max_magnitude", "match_peak_laplacian_magnitude_to_peak_rhs",
+        )
+        if self.output_scaling not in allowed:
+            raise ValueError(f"unknown output_scaling {self.output_scaling}")
+
+
+class SeparableConv(nn.Module):
+    """kx1 then 1xk conv (spatially separable, full channel mixing in each)."""
+
+    features: int
+    kernel_size: int
+    activation: str = "linear"
+    padding_mode: str = "constant"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        x = PadConv(self.features, (k, 1), "linear", self.padding_mode, dtype=self.dtype)(x)
+        x = PadConv(self.features, (1, k), "linear", self.padding_mode, dtype=self.dtype)(x)
+        return resolve_activation(self.activation)(x)
+
+
+class FiLM(nn.Module):
+    """Per-channel scale/shift from a conditioning vector: x*(1+g) + b."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, cond):
+        c = x.shape[-1]
+        gb = nn.Dense(2 * c, dtype=self.dtype, kernel_init=nn.initializers.zeros_init())(cond)
+        g, b = jnp.split(gb, 2, axis=-1)
+        return x * (1.0 + g[:, None, None, :]) + b[:, None, None, :]
+
+
+def _pad_to_multiple(x: jax.Array, mult: int):
+    """Zero-pad spatial dims of (B,H,W,C) up to a multiple of `mult` (static)."""
+    B, H, W, C = x.shape
+    Hp = -(-H // mult) * mult
+    Wp = -(-W // mult) * mult
+    if (Hp, Wp) == (H, W):
+        return x, (H, W)
+    return jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0))), (H, W)
+
+
+def space_to_depth(x: jax.Array, r: int) -> jax.Array:
+    """(B,H,W,C) -> (B,H/r,W/r,r*r*C) by folding rxr blocks into channels."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // r, r, W // r, r, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // r, W // r, r * r * C)
+
+
+def depth_to_space(x: jax.Array, r: int) -> jax.Array:
+    """Inverse of `space_to_depth` (subpixel projection)."""
+    B, H, W, C = x.shape
+    c = C // (r * r)
+    x = x.reshape(B, H, W, r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * r, W * r, c)
+
+
+class HPNNFast(nn.Module):
+    cfg: HPNNFastConfig = HPNNFastConfig()
+
+    @nn.compact
+    def __call__(self, rhs: jax.Array, dx: jax.Array, train: bool = False):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype) if cfg.dtype else rhs.dtype
+        act = resolve_activation(cfg.activation)
+        B, H, W, _ = rhs.shape
+        dx2 = jnp.broadcast_to(dx, (B, 2)) if dx.shape[-1] == 1 else dx
+        domain_sizes = compute_domain_sizes(dx2, (H, W))
+
+        raw_rhs = rhs
+        if cfg.normalize_rhs_max_magnitude:
+            peaks = peak_magnitudes(rhs)
+            rhs = rhs / jnp.where(peaks > 0, peaks, 1.0)[:, None, None, None]
+
+        x = rhs.astype(dtype)
+        if cfg.use_positional_embeddings:
+            pos = cos_position_embeddings((H, W), dtype=dtype)
+            x = jnp.concatenate([x, jnp.broadcast_to(pos[None], (B,) + pos.shape)], -1)
+
+        n_scales = len(cfg.scale_filters)
+        r = max(1, int(cfg.input_space_to_depth))
+        x, _ = _pad_to_multiple(x, r * 2 ** n_scales)
+        if r > 1:
+            x = space_to_depth(x, r)
+
+        # dx-conditioning trunk (shared; per-scale FiLM heads)
+        cond = jnp.concatenate(
+            [dx2, domain_sizes, 1.0 / (domain_sizes ** 2 + 1e-30)], axis=-1
+        ).astype(dtype)
+        for u in cfg.dx_mlp_units:
+            cond = act(nn.Dense(u, dtype=dtype)(cond))
+
+        # full-resolution separable stem
+        stem = SeparableConv(
+            cfg.stem_filters, cfg.stem_kernel_size, cfg.activation, dtype=dtype
+        )(x)
+
+        # encoder: strided-conv downsample + dense convs per scale
+        skips = []
+        h = stem
+        for f in cfg.scale_filters:
+            h = nn.Conv(f, (2, 2), strides=(2, 2), padding="VALID", dtype=dtype)(h)
+            for _ in range(cfg.convs_per_scale):
+                h = PadConv(f, cfg.scale_kernel_size, "linear", dtype=dtype)(h)
+                if cfg.use_norm:
+                    h = norm_layer(dtype)(h)
+                h = act(h)
+            h = FiLM(dtype=dtype)(h, cond)
+            skips.append(h)
+
+        # decoder: upsample-to-skip-shape (matmul resize) + merge + conv
+        h = skips[-1]
+        for skip in reversed(skips[:-1]):
+            up = resize_align_corners(h, skip.shape[1:3], "bilinear")
+            h = nn.Conv(skip.shape[-1], (1, 1), dtype=dtype)(
+                jnp.concatenate([up, skip], axis=-1)
+            )
+            h = PadConv(skip.shape[-1], cfg.scale_kernel_size, "linear", dtype=dtype)(h)
+            if cfg.use_norm:
+                h = norm_layer(dtype)(h)
+            h = act(h)
+            h = FiLM(dtype=dtype)(h, cond)
+
+        # full-resolution separable head
+        up = resize_align_corners(h, stem.shape[1:3], "bilinear")
+        out = jnp.concatenate([up, stem], axis=-1)
+        out = SeparableConv(
+            cfg.head_filters, cfg.head_kernel_size, cfg.activation, dtype=dtype
+        )(out)
+        out = FiLM(dtype=dtype)(out, cond)
+        out = SeparableConv(
+            cfg.head_filters, cfg.head_kernel_size, cfg.activation, dtype=dtype
+        )(out)
+        out = nn.Conv(r * r, (1, 1), dtype=dtype)(out)
+        if r > 1:
+            out = depth_to_space(out, r)
+        out = out[:, :H, :W, :]
+
+        # BC enforcement by crop-and-repad (same as HPNN:
+        # `Homogeneous_Poisson_NN_Legacy.py:106-113,251`)
+        inner = out[:, 1:-1, 1:-1, :]
+        if cfg.bc_type == "dirichlet":
+            out = jnp.pad(inner, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        else:
+            out = jnp.pad(inner, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="symmetric")
+
+        out = out.astype(rhs.dtype)
+        if cfg.postsmoother_iterations > 0:
+            out = JacobiIterationLayer(cfg.postsmoother_iterations)(out, rhs, dx2)
+
+        # output scaling modes (reference `Homogeneous_Poisson_NN.py:124-188`)
+        mode = cfg.output_scaling
+        if mode == "soln_max_magnitude":
+            out = set_max_magnitude_in_batch(out, 1.0, eps=1e-30)
+        elif mode is not None:
+            factors = jnp.ones((B,), dtype=out.dtype)
+            if "rhs_max_magnitude" in mode:
+                factors = factors * peak_magnitudes(raw_rhs)
+            if "max_domain_size_squared" in mode:
+                factors = factors * jnp.max(domain_sizes, axis=1) ** 2
+            if mode == "match_peak_laplacian_magnitude_to_peak_rhs":
+                lap = apply_fd_operator(out, dx2, 5, 2)
+                factors = peak_magnitudes(raw_rhs) / (peak_magnitudes(lap) + 1e-30)
+            out = out * factors[:, None, None, None]
+        return out
+
+
+def load_fast_config(
+    path: str = "/root/repo/checkpoints/hpnn_fast/config.json",
+) -> HPNNFastConfig:
+    """Config of the trained fast checkpoint if present, else defaults."""
+    if os.path.exists(path):
+        with open(path) as f:
+            d = json.load(f)
+        for k in ("scale_filters", "dx_mlp_units"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return HPNNFastConfig(**d)
+    return HPNNFastConfig()

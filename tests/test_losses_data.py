@@ -214,3 +214,34 @@ def test_physics_informed_loss_normalized():
     peaks = np.asarray(ops.peak_magnitudes(batch["rhs"]))
     assert float(v_norm) <= float(v_plain) / peaks.min() ** 2 + 1e-6
     assert np.isfinite(float(v_norm))
+
+
+def test_numerical_multigrid_fallback_non_coarsenable():
+    """solver='multigrid' with a non-coarsenable grid shape must not raise at
+    trace time — it falls back to the FD-exact spectral solve (VERDICT weak #6)."""
+    from poisson_cnn_tpu.data import GridSamplingConfig
+    from poisson_cnn_tpu.data.numerical import NumericalConfig, generate_numerical_batch
+    from poisson_cnn_tpu.ops import apply_fd_operator
+
+    cfg = NumericalConfig(
+        batch_size=2,
+        grids=GridSamplingConfig(((24, 32), (24, 32)), (5e-3, 5e-2)),
+        rhs="random",
+        nonzero_boundaries=("left",),
+        solver="multigrid",
+    )
+    # 30 = 2*15, 30-1=29 prime: not 2^k*m+1 coarsenable
+    batch = generate_numerical_batch(jax.random.PRNGKey(0), cfg, (30, 31))
+    soln, rhs, dx = batch["soln"], batch["rhs"], batch["dx"]
+    assert bool(jnp.isfinite(soln).all())
+    # interior residual of the fallback solve must be tiny (FD-exact solver)
+    # the spectral fallback is exact for the 3-point-per-axis FD Laplacian
+    # (up to fp32 roundoff amplified by 1/dx^2); use a relative-norm check
+    lap = apply_fd_operator(soln, jnp.broadcast_to(dx, (2, 2)), 3, 2)
+    interior = rhs[:, 1:-1, 1:-1]
+    rel = float(jnp.linalg.norm(lap - interior) / jnp.linalg.norm(interior))
+    assert rel < 5e-3, rel
+
+    # coarsenable shape still uses the real V-cycle path (no exception, finite)
+    batch2 = generate_numerical_batch(jax.random.PRNGKey(1), cfg, (33, 33))
+    assert bool(jnp.isfinite(batch2["soln"]).all())

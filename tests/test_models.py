@@ -285,3 +285,118 @@ def test_models_with_postsmoother():
     dparams = dm.init(jax.random.PRNGKey(0), bc, dx, 32)
     dout = dm.apply(dparams, bc, dx, 32)
     assert dout.shape == (1, 32, 40, 1) and bool(jnp.isfinite(dout).all())
+
+
+# ---------------------------------------------------------------------------
+# HPNN-Fast (FLOP-reduced inference model)
+# ---------------------------------------------------------------------------
+
+from poisson_cnn_tpu.models import HPNNFast, HPNNFastConfig  # noqa: E402
+
+SMALL_FAST = HPNNFastConfig(
+    stem_filters=6,
+    stem_kernel_size=5,
+    scale_filters=(8, 12, 16),
+    scale_kernel_size=3,
+    convs_per_scale=1,
+    head_filters=6,
+    head_kernel_size=5,
+    dx_mlp_units=(16, 16),
+    dtype=None,
+)
+
+
+def test_hpnn_fast_shapes_and_dirichlet_bc():
+    model = HPNNFast(SMALL_FAST)
+    dx = jnp.full((2, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((2, 48, 48, 1)), dx)
+    for shape in [(48, 48), (64, 40), (33, 57), (97, 97)]:
+        rhs = jax.random.normal(jax.random.PRNGKey(1), (2,) + shape + (1,))
+        out = model.apply(params, rhs, dx)
+        assert out.shape == rhs.shape, shape
+        for sl in (out[:, 0], out[:, -1], out[:, :, 0], out[:, :, -1]):
+            np.testing.assert_allclose(np.asarray(sl), 0.0, atol=1e-6)
+
+
+def test_hpnn_fast_neumann_boundary_mirrors_interior():
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL_FAST, bc_type="neumann")
+    model = HPNNFast(cfg)
+    rhs = jax.random.normal(jax.random.PRNGKey(1), (1, 48, 48, 1))
+    dx = jnp.full((1, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), rhs, dx)
+    out = model.apply(params, rhs, dx)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(out[:, 1]), atol=1e-6)
+
+
+def test_hpnn_fast_gradients_and_dx_sensitivity():
+    model = HPNNFast(SMALL_FAST)
+    rhs = jax.random.normal(jax.random.PRNGKey(2), (2, 48, 48, 1))
+    dx = jnp.full((2, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), rhs, dx)
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, rhs, dx) ** 2))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+    nonzero = sum(float(jnp.abs(l).max()) > 0 for l in leaves)
+    assert nonzero > len(leaves) * 0.5
+    # FiLM conditioning must make the output dx-dependent even at zero-init
+    # heads after one grad step; check the dx gradient path exists instead
+    gdx = jax.grad(lambda d: jnp.sum(model.apply(params, rhs, d) ** 2))(dx)
+    assert gdx.shape == dx.shape
+
+
+def test_hpnn_fast_overfits_tiny_batch():
+    model = HPNNFast(SMALL_FAST)
+    key = jax.random.PRNGKey(3)
+    B, n = 2, 48
+    dx = jnp.full((B, 1), 2.0 / (n - 1))
+    c = ops.random_series_coefficients(key, B, (3, 3))
+    L = ops.compute_domain_sizes(dx, (n, n))
+    soln = ops.synthesize_series(c, None, (n, n))[..., None]
+    rhs = ops.synthesize_series(
+        c * ops.laplacian_eigenvalue_factors(L, (3, 3)), None, (n, n)
+    )[..., None]
+    rhs, f = ops.set_max_magnitude_in_batch_and_return_scaling_factors(rhs, 1.0)
+    soln = soln * f[:, None, None, None]
+
+    params = model.init(jax.random.PRNGKey(0), rhs, dx)
+    tx = optax.adam(2e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            pred = model.apply(p, rhs, dx)
+            return jnp.mean((pred - soln) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses_seq = []
+    for _ in range(50):
+        params, opt_state, loss = step(params, opt_state)
+        losses_seq.append(float(loss))
+    assert losses_seq[-1] < 0.5 * losses_seq[0], losses_seq[::10]
+
+
+def test_hpnn_fast_flop_reduction():
+    """The design contract: >=10x fewer XLA-counted FLOPs than the flagship at
+    the same (modest) grid size."""
+    n = 64
+    rhs = jnp.ones((1, n, n, 1))
+    dx = jnp.full((1, 1), 2.0 / (n - 1))
+
+    def flops_of(model):
+        params = model.init(jax.random.PRNGKey(0), rhs, dx)
+        lowered = jax.jit(lambda p, r, d: model.apply(p, r, d)).lower(params, rhs, dx)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+
+    fast = flops_of(HPNNFast(HPNNFastConfig(dtype=None)))
+    flagship = flops_of(HPNN(HPNNConfig()))
+    assert fast > 0 and flagship > 0
+    assert flagship / fast >= 10.0, (flagship, fast)
