@@ -74,7 +74,7 @@ def main():
         default="fast",
         choices=["fast", "flagship"],
         help="fast = FLOP-reduced HPNN-Fast (accuracy parity shown in "
-        "checkpoints/hpnn_fast_eval.json); flagship = reference-scale HPNN",
+        "checkpoints/hpnn_fast/eval.json); flagship = reference-scale HPNN",
     )
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=64, help="chained scan length")

@@ -21,9 +21,10 @@ capacity can live at reduced resolution:
   * bf16 compute end-to-end; all shapes static per compile (variable grids =
     bucketed recompiles, same policy as HPNN).
 
-~10 GFLOP/solve at 256^2 — a ~30x FLOP cut vs the flagship — with accuracy
-parity demonstrated in checkpoints/hpnn_fast/eval.json (same
-`evaluation.evaluate_hpnn` protocol as the flagship demo checkpoints).
+~1.9 GFLOP/solve at 256^2 — a ~170x FLOP cut vs the flagship — and BETTER
+accuracy: 3.6% mean rel-L2 vs the flagship demo's 7.1% on the identical
+`evaluation.evaluate_hpnn` protocol (checkpoints/hpnn_fast/eval.json, trained
+by scripts/train_hpnn_fast.py).
 """
 
 from __future__ import annotations

@@ -3,9 +3,13 @@
 Capability parity with the reference's `VelocityField` methods
 (`Navier_Stokes_2D/structure.py:117-247`): divergence, 5-point diffusion and
 4-point-averaged nonlinear convection, plus ghost-cell completion of boundary
-conditions (`structure.py:348-426` — the reference uses cubic extrapolation for
-its ghosts; here linear-reflection ghosts u_g = 2 u_wall - u_int, which keeps
-the wall value 2nd-order accurate and every operator a fused slice stencil).
+conditions. Ghost values use cubic (3rd-degree polynomial) extrapolation of the
+wall value through the first three interior faces — the reference's scheme
+(`structure.py:397-419`): a cubic through the ghost (at -h/2) and interior
+points (h/2, 3h/2, 5h/2) that takes the wall value w at 0 satisfies
+    ghost = (16/5) w - 3 f1 + f2 - (1/5) f3,
+which keeps the tangential wall condition 3rd-order accurate (linear reflection
+ghosts cap the overall scheme below 2nd order on the Taylor-vortex oracle).
 
 Shapes: u (m+1, n) on x-faces, v (m, n+1) on y-faces, p/phi (m, n) at centers.
 """
@@ -18,8 +22,18 @@ import jax
 import jax.numpy as jnp
 
 
+def cubic_ghost(wall, f1, f2, f3):
+    """Ghost value whose cubic interpolant hits `wall` at the boundary."""
+    return 3.2 * wall - 3.0 * f1 + f2 - 0.2 * f3
+
+
+def cubic_wall_value(g, f1, f2, f3):
+    """Inverse of `cubic_ghost`: the wall value implied by ghost + interior."""
+    return 0.3125 * (g + 3.0 * f1 - f2 + 0.2 * f3)
+
+
 def complete_u(u: jax.Array, grid, u_bc: Callable, t) -> jax.Array:
-    """Apply normal BCs on the W/E faces and add S/N ghost rows.
+    """Apply normal BCs on the W/E faces and add S/N cubic ghost columns.
 
     Returns (m+1, n+2) with ghost columns at j=0 and j=n+1.
     """
@@ -28,13 +42,13 @@ def complete_u(u: jax.Array, grid, u_bc: Callable, t) -> jax.Array:
     u = u.at[-1, :].set(u_bc(xu[-1], yu, t))
     u_s = u_bc(xu, grid.y0, t)  # wall value at the S boundary
     u_n = u_bc(xu, grid.y1, t)
-    ghost_s = 2.0 * u_s - u[:, 0]
-    ghost_n = 2.0 * u_n - u[:, -1]
+    ghost_s = cubic_ghost(u_s, u[:, 0], u[:, 1], u[:, 2])
+    ghost_n = cubic_ghost(u_n, u[:, -1], u[:, -2], u[:, -3])
     return jnp.concatenate([ghost_s[:, None], u, ghost_n[:, None]], axis=1)
 
 
 def complete_v(v: jax.Array, grid, v_bc: Callable, t) -> jax.Array:
-    """Apply normal BCs on the S/N faces and add W/E ghost columns.
+    """Apply normal BCs on the S/N faces and add W/E cubic ghost rows.
 
     Returns (m+2, n+1) with ghost rows at i=0 and i=m+1.
     """
@@ -43,9 +57,15 @@ def complete_v(v: jax.Array, grid, v_bc: Callable, t) -> jax.Array:
     v = v.at[:, -1].set(v_bc(xv, yv[-1], t))
     v_w = v_bc(grid.x0, yv, t)
     v_e = v_bc(grid.x1, yv, t)
-    ghost_w = 2.0 * v_w - v[0, :]
-    ghost_e = 2.0 * v_e - v[-1, :]
+    ghost_w = cubic_ghost(v_w, v[0, :], v[1, :], v[2, :])
+    ghost_e = cubic_ghost(v_e, v[-1, :], v[-2, :], v[-3, :])
     return jnp.concatenate([ghost_w[None, :], v, ghost_e[None, :]], axis=0)
+
+
+def complete_phi(phi: jax.Array) -> jax.Array:
+    """Mirror (zero-normal-derivative) ghost ring for a cell-centered potential
+    (reference `structure.py:551-566`). (m, n) -> (m+2, n+2)."""
+    return jnp.pad(phi, ((1, 1), (1, 1)), mode="edge")
 
 
 def divergence(u: jax.Array, v: jax.Array, grid) -> jax.Array:
@@ -113,21 +133,35 @@ def convection(u_cmp: jax.Array, v_cmp: jax.Array, grid):
     return conv_u, conv_v
 
 
+def _hom_cubic_ghosts_u(w: jax.Array) -> jax.Array:
+    """Zero-padded normal faces + homogeneous cubic S/N ghosts. (m-1,n)->(m+1,n+2)."""
+    w_cmp = jnp.pad(w, ((1, 1), (0, 0)))  # zero normal faces
+    ghost_s = cubic_ghost(0.0, w_cmp[:, 0], w_cmp[:, 1], w_cmp[:, 2])
+    ghost_n = cubic_ghost(0.0, w_cmp[:, -1], w_cmp[:, -2], w_cmp[:, -3])
+    return jnp.concatenate([ghost_s[:, None], w_cmp, ghost_n[:, None]], axis=1)
+
+
+def _hom_cubic_ghosts_v(w: jax.Array) -> jax.Array:
+    """Zero-padded normal faces + homogeneous cubic W/E ghosts. (m,n-1)->(m+2,n+1)."""
+    w_cmp = jnp.pad(w, ((0, 0), (1, 1)))
+    ghost_w = cubic_ghost(0.0, w_cmp[0, :], w_cmp[1, :], w_cmp[2, :])
+    ghost_e = cubic_ghost(0.0, w_cmp[-1, :], w_cmp[-2, :], w_cmp[-3, :])
+    return jnp.concatenate([ghost_w[None, :], w_cmp, ghost_e[None, :]], axis=0)
+
+
 def helmholtz_solve_u(
     rhs_int: jax.Array, alpha: float, grid, n_iterations: int = 60
 ) -> jax.Array:
     """Solve (I - alpha*Lap) w = rhs on interior x-faces with HOMOGENEOUS
-    Dirichlet data (wall value 0 via ghost reflection w_g = -w_adjacent).
-    Fixed-iteration CG (matrix free). rhs_int: (m-1, n)."""
+    boundary data (Dirichlet wall value 0 via cubic ghosts). The cubic ghost
+    coupling makes the operator nonsymmetric, so fixed-iteration BiCGStab
+    (matrix free — the reference assembles sparse matrices and calls scipy
+    bicg, `Navier_Stokes_2D/solvers.py:118-155`). rhs_int: (m-1, n)."""
 
     def matvec(w):
-        w_cmp = jnp.pad(w, ((1, 1), (0, 0)))  # zero normal faces
-        w_cmp = jnp.concatenate(
-            [-w_cmp[:, :1], w_cmp, -w_cmp[:, -1:]], axis=1
-        )  # reflection ghosts
-        return w - alpha * laplacian_u(w_cmp, grid)
+        return w - alpha * laplacian_u(_hom_cubic_ghosts_u(w), grid)
 
-    return _cg(matvec, rhs_int, n_iterations)
+    return _bicgstab(matvec, rhs_int, n_iterations)
 
 
 def helmholtz_solve_v(
@@ -136,34 +170,102 @@ def helmholtz_solve_v(
     """Same for v at interior y-faces. rhs_int: (m, n-1)."""
 
     def matvec(w):
-        w_cmp = jnp.pad(w, ((0, 0), (1, 1)))
-        w_cmp = jnp.concatenate(
-            [-w_cmp[:1, :], w_cmp, -w_cmp[-1:, :]], axis=0
-        )
-        return w - alpha * laplacian_v(w_cmp, grid)
+        return w - alpha * laplacian_v(_hom_cubic_ghosts_v(w), grid)
 
-    return _cg(matvec, rhs_int, n_iterations)
+    return _bicgstab(matvec, rhs_int, n_iterations)
 
 
-def _cg(matvec, b, n_iterations):
+def _bicgstab(matvec, b, n_iterations):
+    """Fixed-iteration matrix-free BiCGStab with a convergence freeze (running
+    far past convergence in fp32 otherwise amplifies round-off). Suits the
+    mildly nonsymmetric cubic-ghost Helmholtz operators; lax.fori_loop keeps
+    the whole solve inside one XLA computation."""
     x = jnp.zeros_like(b)
     r = b - matvec(x)
+    r0 = r  # shadow residual
+    rho = jnp.sum(r0 * r)
     p = r
-    rs = jnp.sum(r * r)
-    rs0 = rs
+    rs0 = jnp.sum(r * r)
 
     def body(_, carry):
-        # freeze once converged (fp32 round-off amplification guard)
-        x, r, p, rs = carry
-        live = rs > 1e-12 * rs0 + 1e-30
-        ap = matvec(p)
-        denom = jnp.sum(p * ap)
-        alpha = jnp.where(live, rs / jnp.where(denom == 0, 1.0, denom), 0.0)
-        x = x + alpha * p
-        r = r - alpha * ap
-        rs_new = jnp.where(live, jnp.sum(r * r), rs)
-        beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1.0, rs), 0.0)
-        return x, r, p * beta + r, rs_new
+        x, r, p, rho = carry
+        live = jnp.sum(r * r) > 1e-14 * rs0 + 1e-30
 
-    x, _, _, _ = jax.lax.fori_loop(0, n_iterations, body, (x, r, p, rs))
+        def do(args):
+            x, r, p, rho = args
+            v = matvec(p)
+            denom = jnp.sum(r0 * v)
+            a = rho / jnp.where(denom == 0, 1.0, denom)
+            s = r - a * v
+            t = matvec(s)
+            tt = jnp.sum(t * t)
+            w = jnp.sum(t * s) / jnp.where(tt == 0, 1.0, tt)
+            x2 = x + a * p + w * s
+            r2 = s - w * t
+            rho2 = jnp.sum(r0 * r2)
+            beta = (rho2 / jnp.where(rho == 0, 1.0, rho)) * (
+                a / jnp.where(w == 0, 1.0, w)
+            )
+            p2 = r2 + beta * (p - w * v)
+            return x2, r2, p2, rho2
+
+        return jax.lax.cond(live, do, lambda args: args, (x, r, p, rho))
+
+    x, _, _, _ = jax.lax.fori_loop(0, n_iterations, body, (x, r, p, rho))
     return x
+
+
+def _onesided_wall_value(f1, f2, f3):
+    """Extrapolate cell-sampled values (at h/2, 3h/2, 5h/2 off the wall) to the
+    wall by the interpolating quadratic: O(h^3) accurate and ghost-free.
+
+    The reference instead runs its cubic formula through the potential's MIRROR
+    ghost (`Gauge_method.gradphi_app`, `solvers.py:457-478` with
+    `CentredPotential.complete`, `structure.py:551-566`), which collapses to
+    0.3125*(4 f1 - f2 + 0.2 f3) = f(0) + 0.3125*h*f'(0) + O(h^3) — an O(h)
+    wall-gradient error that the Helmholtz boundary lifting amplifies by
+    lam/h^2, capping the gauge method's observed convergence (verified on the
+    Taylor oracle: the mirror-ghost variant DIVERGES under refinement at fixed
+    dt). The one-sided quadratic restores 2nd-order convergence.
+    """
+    return 1.875 * f1 - 1.25 * f2 + 0.375 * f3
+
+
+def gradphi_u(phi_cmp: jax.Array, grid) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """d(phi)/dx at x-faces from a completed potential (m+2, n+2), plus its
+    wall values on the S/N boundaries by one-sided quadratic extrapolation
+    (reference capability: `Gauge_method.gradphi_app`, `solvers.py:457-478`).
+
+    Returns (grad (m+1, n) at interior columns, wall_S (m+1,), wall_N (m+1,)).
+    """
+    g = (phi_cmp[1:, :] - phi_cmp[:-1, :]) / grid.dx  # (m+1, n+2) w/ ghost cols
+    wall_s = _onesided_wall_value(g[:, 1], g[:, 2], g[:, 3])
+    wall_n = _onesided_wall_value(g[:, -2], g[:, -3], g[:, -4])
+    return g[:, 1:-1], wall_s, wall_n
+
+
+def gradphi_v(phi_cmp: jax.Array, grid) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """d(phi)/dy at y-faces + its W/E wall values (one-sided quadratic).
+
+    Returns (grad (m, n+1) at interior rows, wall_W (n+1,), wall_E (n+1,)).
+    """
+    g = (phi_cmp[:, 1:] - phi_cmp[:, :-1]) / grid.dy  # (m+2, n+1) w/ ghost rows
+    wall_w = _onesided_wall_value(g[1, :], g[2, :], g[3, :])
+    wall_e = _onesided_wall_value(g[-2, :], g[-3, :], g[-4, :])
+    return g[1:-1, :], wall_w, wall_e
+
+
+def complete_gauge_u(m_u: jax.Array, wall_s: jax.Array, wall_n: jax.Array) -> jax.Array:
+    """Add S/N cubic ghost columns to the gauge u-component using its
+    tangential wall values m = u_wall + d(phi)/dx (reference
+    `Gauge_method.complete_mstar`, `solvers.py:585-623`). (m+1,n)->(m+1,n+2)."""
+    ghost_s = cubic_ghost(wall_s, m_u[:, 0], m_u[:, 1], m_u[:, 2])
+    ghost_n = cubic_ghost(wall_n, m_u[:, -1], m_u[:, -2], m_u[:, -3])
+    return jnp.concatenate([ghost_s[:, None], m_u, ghost_n[:, None]], axis=1)
+
+
+def complete_gauge_v(m_v: jax.Array, wall_w: jax.Array, wall_e: jax.Array) -> jax.Array:
+    """Add W/E cubic ghost rows to the gauge v-component. (m,n+1)->(m+2,n+1)."""
+    ghost_w = cubic_ghost(wall_w, m_v[0, :], m_v[1, :], m_v[2, :])
+    ghost_e = cubic_ghost(wall_e, m_v[-1, :], m_v[-2, :], m_v[-3, :])
+    return jnp.concatenate([ghost_w[None, :], m_v, ghost_e[None, :]], axis=0)

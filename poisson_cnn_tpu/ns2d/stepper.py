@@ -9,9 +9,16 @@ Neumann, zero mean) -> velocity projection; they differ in the pressure update:
   alg1: p^{n+1} = p^n + phi
   alg2: p^{n+1} = p^n + phi - (1/(2 Re)) * dt * lap(phi)  (Brown et al.)
   alg3: p^{n+1} = phi/dt_effective - (1/(2 Re)) div(u*)   (pressure-free)
-  gauge: identical update law to alg3 expressed via the gauge variable; the
-         gauge formulation's boundary treatment reduces to the same discrete
-         operations on this linear-ghost MAC stencil.
+  gauge: the genuine gauge-variable formulation (E & Liu; reference
+         `solvers.py:337-623`): evolve m with u = m - grad(phi) and
+         lap(phi^{n+1}) = div(m*); m accumulates grad(phi) across steps and
+         its tangential wall data is u_wall + d(phi)/dtau with
+         phi^{n+1} ~ 2 phi^n - phi^{n-1} cubic-interpolated to the wall;
+         p = (phi^{n+1}-phi^n)/dt - (div m* + div m^n)/(2 Re).
+
+All ghost completions use the reference's cubic extrapolation
+(`structure.py:397-419`), which keeps the Taylor-vortex convergence oracle at
+2nd order (linear-reflection ghosts cap it below that).
 
 TPU-first: the whole time loop is one lax.scan; the pressure Poisson uses the
 DCT-II spectral Neumann solver (exact for the 5-point operator — the reference
@@ -31,11 +38,16 @@ import jax.numpy as jnp
 from ..solvers import poisson_solve_neumann
 from .mesh import MACGrid, Problem
 from .operators import (
+    complete_gauge_u,
+    complete_gauge_v,
+    complete_phi,
     complete_u,
     complete_v,
     convection,
     divergence,
     grad_p_faces,
+    gradphi_u,
+    gradphi_v,
     helmholtz_solve_u,
     helmholtz_solve_v,
     laplacian_u,
@@ -265,7 +277,7 @@ def make_stepper(
             # Brown's consistent update: p += phi - (dt/(2Re)) lap(phi)
             # using lap(phi) = div(u*)/dt exactly
             p_new = p + phi - (1.0 / (2.0 * Re)) * div_star
-        else:  # alg3 / gauge (pressure-free momentum; recovered pressure)
+        else:  # alg3 (pressure-free momentum; recovered pressure)
             # p = phi - (dt/(2Re)) lap(phi) with lap(phi) = div(u*)/dt
             p_new = phi - (1.0 / (2.0 * Re)) * div_star
         new_state = (
@@ -273,7 +285,112 @@ def make_stepper(
         )
         return new_state, None
 
-    return step
+    if cfg.method != "gauge":
+        return step
+
+    def gauge_step(state, t_index):
+        """True gauge-variable step (E & Liu; reference `Gauge_method`,
+        `Navier_Stokes_2D/solvers.py:337-623`): evolve m with u = m - grad(phi),
+        lap(phi) = div(m). Unlike alg3, m ACCUMULATES grad(phi) across steps
+        and its tangential boundary data is u_wall + d(phi)/d(tangent) with
+        phi^{n+1} ~ 2 phi^n - phi^{n-1} extrapolated to the wall (cubic)."""
+        (u, v, p, m_u_cmp, m_v_cmp, phi_n, phi_old,
+         conv_u_prev, conv_v_prev, first) = state
+        t_n = cfg.t0 + t_index * dt
+        t_np1 = t_n + dt
+
+        u_cmp = complete_u(u, grid, problem.u_bc, t_n)
+        v_cmp = complete_v(v, grid, problem.v_bc, t_n)
+        conv_u, conv_v = convection(u_cmp, v_cmp, grid)
+        conv_u_eff = jnp.where(first, conv_u, 1.5 * conv_u - 0.5 * conv_u_prev)
+        conv_v_eff = jnp.where(first, conv_v, 1.5 * conv_v - 0.5 * conv_v_prev)
+        if cfg.linearized:
+            conv_u_eff = jnp.zeros_like(conv_u_eff)
+            conv_v_eff = jnp.zeros_like(conv_v_eff)
+
+        fu, fv = forcing(t_n + 0.5 * dt)
+        fu_int = fu[1:-1, :] if problem.forcing_u is not None else 0.0
+        fv_int = fv[:, 1:-1] if problem.forcing_v is not None else 0.0
+
+        # CN momentum RHS in the gauge variable (reference `solvers.py:402-416`)
+        m_u_int = m_u_cmp[1:-1, 1:-1]
+        m_v_int = m_v_cmp[1:-1, 1:-1]
+        rhs_u = m_u_int + dt * (-conv_u_eff + fu_int) + alpha * laplacian_u(
+            m_u_cmp, grid
+        )
+        rhs_v = m_v_int + dt * (-conv_v_eff + fv_int) + alpha * laplacian_v(
+            m_v_cmp, grid
+        )
+
+        # tangential m* boundary data: u_wall + extrapolated d(phi^{n+1})/dtau
+        # (reference `gradphi_app` + `correct_boundary`, `solvers.py:457-582`)
+        phi_app_cmp = 2.0 * complete_phi(phi_n) - complete_phi(phi_old)
+        _, gpu_s, gpu_n = gradphi_u(phi_app_cmp, grid)
+        _, gpv_w, gpv_e = gradphi_v(phi_app_cmp, grid)
+        mu_wall_s = problem.u_bc(xu, grid.y0, t_np1) + gpu_s
+        mu_wall_n = problem.u_bc(xu, grid.y1, t_np1) + gpu_n
+        mv_wall_w = problem.v_bc(grid.x0, yv, t_np1) + gpv_w
+        mv_wall_e = problem.v_bc(grid.x1, yv, t_np1) + gpv_e
+
+        # lift the boundary data: normal faces take u's Dirichlet values
+        # (d(phi)/dn = 0 at walls), tangential ghosts take the m walls
+        b_u = jnp.zeros((grid.m + 1, grid.n))
+        b_u = b_u.at[0, :].set(problem.u_bc(xu[0], yu, t_np1))
+        b_u = b_u.at[-1, :].set(problem.u_bc(xu[-1], yu, t_np1))
+        b_u_cmp = complete_gauge_u(b_u, mu_wall_s, mu_wall_n)
+        b_v = jnp.zeros((grid.m, grid.n + 1))
+        b_v = b_v.at[:, 0].set(problem.v_bc(xv, yv[0], t_np1))
+        b_v = b_v.at[:, -1].set(problem.v_bc(xv, yv[-1], t_np1))
+        b_v_cmp = complete_gauge_v(b_v, mv_wall_w, mv_wall_e)
+        rhs_u = rhs_u + alpha * laplacian_u(b_u_cmp, grid)
+        rhs_v = rhs_v + alpha * laplacian_v(b_v_cmp, grid)
+
+        w_u = helmholtz_solve_u(rhs_u, alpha, grid, cfg.helmholtz_iterations)
+        w_v = helmholtz_solve_v(rhs_v, alpha, grid, cfg.helmholtz_iterations)
+        mstar_u = b_u.at[1:-1, :].set(w_u)
+        mstar_v = b_v.at[:, 1:-1].set(w_v)
+
+        # gauge potential: lap(phi^{n+1}) = div(m*)  (note: no /dt — phi
+        # accumulates; p is recovered from its increment)
+        div_mstar = divergence(mstar_u, mstar_v, grid)
+        phi_new = pressure_solver(div_mstar)
+        div_mn = divergence(m_u_cmp[:, 1:-1], m_v_cmp[1:-1, :], grid)
+        div_mn = jnp.where(first, div_mstar, div_mn)
+
+        # pressure recovery: p = (phi^{n+1}-phi^n)/dt - (div m* + div m^n)/(2Re)
+        # (reference `solvers.py:436-438`)
+        p_new = (phi_new - phi_n) / dt - (1.0 / (2.0 * Re)) * (
+            div_mstar + div_mn
+        )
+
+        # projection u^{n+1} = m* - grad(phi^{n+1})
+        gphix, gphiy = grad_p_faces(phi_new, grid)
+        u_new = mstar_u - gphix
+        v_new = mstar_v - gphiy
+
+        # complete m^{n+1} ghosts with the just-computed phi^{n+1}
+        # (reference `complete_mstar`, `solvers.py:585-623`)
+        phi_new_cmp = complete_phi(phi_new)
+        _, gpu_s1, gpu_n1 = gradphi_u(phi_new_cmp, grid)
+        _, gpv_w1, gpv_e1 = gradphi_v(phi_new_cmp, grid)
+        m_u_cmp_new = complete_gauge_u(
+            mstar_u,
+            problem.u_bc(xu, grid.y0, t_np1) + gpu_s1,
+            problem.u_bc(xu, grid.y1, t_np1) + gpu_n1,
+        )
+        m_v_cmp_new = complete_gauge_v(
+            mstar_v,
+            problem.v_bc(grid.x0, yv, t_np1) + gpv_w1,
+            problem.v_bc(grid.x1, yv, t_np1) + gpv_e1,
+        )
+
+        new_state = (
+            u_new, v_new, p_new, m_u_cmp_new, m_v_cmp_new,
+            phi_new, phi_n, conv_u, conv_v, jnp.zeros((), dtype=bool),
+        )
+        return new_state, None
+
+    return gauge_step
 
 
 def run(
@@ -287,7 +404,15 @@ def run(
     step = make_stepper(grid, problem, cfg, pressure_solver)
     conv_u0 = jnp.zeros((grid.m - 1, grid.n))
     conv_v0 = jnp.zeros((grid.m, grid.n - 1))
-    state = (u, v, p, conv_u0, conv_v0, jnp.ones((), dtype=bool))
+    first = jnp.ones((), dtype=bool)
+    if cfg.method == "gauge":
+        # m^0 = u^0 (phi^0 = phi^{-1} = 0), completed with u's own BCs
+        m_u_cmp = complete_u(u, grid, problem.u_bc, cfg.t0)
+        m_v_cmp = complete_v(v, grid, problem.v_bc, cfg.t0)
+        phi0 = jnp.zeros((grid.m, grid.n))
+        state = (u, v, p, m_u_cmp, m_v_cmp, phi0, phi0, conv_u0, conv_v0, first)
+    else:
+        state = (u, v, p, conv_u0, conv_v0, first)
 
     @jax.jit
     def integrate(state):
