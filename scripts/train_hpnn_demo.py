@@ -128,7 +128,17 @@ def main():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--eval-only", default=None)
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_demo")
+    p.add_argument(
+        "--matmul-precision", default=None,
+        choices=["default", "float32", "highest"],
+        help="jax default_matmul_precision override. TPU fp32 convs/matmuls "
+        "run at bf16 mantissa by default — the prime suspect for the "
+        "TPU-only late-training drift; 'highest' forces true fp32.",
+    )
     args = p.parse_args()
+
+    if args.matmul_precision and args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     import dataclasses as _dc
 

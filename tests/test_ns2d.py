@@ -27,16 +27,32 @@ def _run_taylor(m, n_steps=40, method="alg1", Re=1.0, dt=2.5e-4, pressure_solver
 
 
 def test_taylor_vortex_accuracy_and_convergence():
-    """Velocity error drops ~2nd order with grid refinement."""
+    """Velocity error drops at 2nd order with grid refinement (the reference's
+    error_analysis oracle, `run_solvers.py`; measured rates 2.1+)."""
     errs = []
     for m in (16, 32):
         verr, _, _ = _run_taylor(m)
         errs.append(verr["u"]["l2"])
     rate = ns2d.convergence_rates([16, 32], errs)
     assert errs[1] < errs[0]
-    assert rate > 1.5, (errs, rate)
+    assert rate > 1.9, (errs, rate)
     # absolute accuracy sanity: error small vs field scale ~1
     assert errs[1] < 5e-3, errs
+
+
+def test_gauge_method_second_order_and_distinct():
+    """The true gauge-variable method converges at 2nd order on the Taylor
+    oracle (reference `Gauge_method`, `solvers.py:337-623`) and is a genuinely
+    different discretization from alg3 (m accumulates grad(phi))."""
+    errs = []
+    for m in (16, 32):
+        verr, _, _ = _run_taylor(m, method="gauge")
+        errs.append(verr["u"]["l2"])
+    rate = ns2d.convergence_rates([16, 32], errs)
+    assert rate > 1.9, (errs, rate)
+    _, _, (u_g, *_rest) = _run_taylor(16, n_steps=20, method="gauge")
+    _, _, (u_3, *_rest) = _run_taylor(16, n_steps=20, method="alg3")
+    assert float(jnp.abs(u_g - u_3).max()) > 1e-9
 
 
 def test_taylor_vortex_all_methods_agree():
