@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..ops import (
     random_series_coefficients,
+    resize_align_corners,
     set_max_magnitude_in_batch_and_return_scaling_factors,
     synthesize_series,
 )
@@ -70,6 +71,64 @@ def _random_smooth_2d(key, batch, grid_shape, mode_range, magnitude_range, dtype
     return (f * mag[:, None, None])[..., None]
 
 
+def _control_levels(n: int) -> Tuple[int, ...]:
+    """Static control-point counts spanning the reference's random-smoothness
+    range [5, n//1.5) (`numerical.py:23`)."""
+    hi = max(6, int(n // 1.5))
+    mid1 = max(6, hi // 4)
+    mid2 = max(7, hi // 2)
+    return tuple(sorted({5, mid1, mid2, hi}))
+
+
+def _random_coarse_noise_2d(key, batch, grid_shape, magnitude_range, dtype=jnp.float32):
+    """The reference's smooth-field recipe (`numerical.py:10-35`): uniform noise
+    on a coarse control grid, bicubic-supersampled to the output grid; fewer
+    control points = smoother field. TPU-first: the reference draws a random
+    control count per batch (dynamic shapes); here each sample randomly SELECTS
+    among a static set of control levels, so everything stays jit-compiled
+    (all levels are synthesized — data-gen is cheap next to the train step)."""
+    levels0 = _control_levels(grid_shape[0])
+    levels1 = _control_levels(grid_shape[1])
+    n_levels = min(len(levels0), len(levels1))
+    keys = jax.random.split(key, n_levels + 2)
+    candidates = []
+    for i in range(n_levels):
+        noise = 2.0 * jax.random.uniform(
+            keys[i], (batch, levels0[i], levels1[i], 1), dtype=dtype
+        ) - 1.0
+        candidates.append(resize_align_corners(noise, grid_shape, "bicubic"))
+    stacked = jnp.stack(candidates)  # (L, B, n0, n1, 1)
+    sel = jax.random.randint(keys[-2], (batch,), 0, n_levels)
+    f = stacked[sel, jnp.arange(batch)]
+    mag = jax.random.uniform(
+        keys[-1], (batch,), dtype=dtype,
+        minval=magnitude_range[0], maxval=magnitude_range[1],
+    )
+    f, _ = set_max_magnitude_in_batch_and_return_scaling_factors(f, 1.0, eps=1e-30)
+    return f * mag[:, None, None, None]
+
+
+def _random_coarse_noise_1d(key, batch, n_points, magnitude_range, dtype=jnp.float32):
+    """1-D coarse-noise boundary fields (`numerical.py:37-72`). NOTE: unlike
+    the sine-series variant these do NOT vanish at the endpoints — matching the
+    reference's boundary generator."""
+    levels = _control_levels(n_points)
+    keys = jax.random.split(key, len(levels) + 2)
+    candidates = []
+    for i, c in enumerate(levels):
+        noise = 2.0 * jax.random.uniform(keys[i], (batch, c, 1), dtype=dtype) - 1.0
+        candidates.append(resize_align_corners(noise, (n_points,), "bicubic"))
+    stacked = jnp.stack(candidates)
+    sel = jax.random.randint(keys[-2], (batch,), 0, len(levels))
+    f = stacked[sel, jnp.arange(batch)]
+    mag = jax.random.uniform(
+        keys[-1], (batch,), dtype=dtype,
+        minval=magnitude_range[0], maxval=magnitude_range[1],
+    )
+    f, _ = set_max_magnitude_in_batch_and_return_scaling_factors(f, 1.0, eps=1e-30)
+    return f * mag[:, None, None]
+
+
 @dataclasses.dataclass(frozen=True)
 class NumericalConfig:
     batch_size: int
@@ -82,6 +141,10 @@ class NumericalConfig:
     solver: str = "spectral"  # 'spectral' | 'multigrid' | 'cholesky'
     # (the reference's pluggable ground-truth solver dispatch,
     # `dataset/generators/numerical.py:121-131`; all three run on-device here)
+    field_type: str = "coarse_noise"  # 'coarse_noise' | 'series'
+    # 'coarse_noise' = the reference's training distribution (uniform noise on
+    # a coarse control grid, bicubic-supersampled, `numerical.py:10-35`);
+    # 'series' = truncated trig series (boundary values vanish at endpoints)
 
     def __post_init__(self):
         for b in self.nonzero_boundaries:
@@ -89,6 +152,8 @@ class NumericalConfig:
                 raise ValueError(f"unknown boundary {b}")
         if self.solver not in ("spectral", "multigrid", "cholesky"):
             raise ValueError(f"unknown solver {self.solver}")
+        if self.field_type not in ("coarse_noise", "series"):
+            raise ValueError(f"unknown field_type {self.field_type}")
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -102,10 +167,16 @@ def generate_numerical_batch(
     keys = jax.random.split(key, 6)
     dx = sample_grid_spacings(keys[0], cfg.grids, grid_shape, B)
 
+    coarse = cfg.field_type == "coarse_noise"
     if cfg.rhs == "random":
-        rhs = _random_smooth_2d(
-            keys[1], B, grid_shape, cfg.rhs_mode_range, cfg.magnitude_range
-        )
+        if coarse:
+            rhs = _random_coarse_noise_2d(
+                keys[1], B, grid_shape, cfg.magnitude_range
+            )
+        else:
+            rhs = _random_smooth_2d(
+                keys[1], B, grid_shape, cfg.rhs_mode_range, cfg.magnitude_range
+            )
     else:
         rhs = jnp.zeros((B, n0, n1, 1))
 
@@ -113,10 +184,15 @@ def generate_numerical_batch(
     boundaries = {}
     for i, name in enumerate(("left", "right", "top", "bottom")):
         if name in cfg.nonzero_boundaries:
-            boundaries[name] = _random_smooth_1d(
-                keys[2 + i], B, edge_lengths[name],
-                cfg.boundary_mode_range, cfg.magnitude_range,
-            )
+            if coarse:
+                boundaries[name] = _random_coarse_noise_1d(
+                    keys[2 + i], B, edge_lengths[name], cfg.magnitude_range
+                )
+            else:
+                boundaries[name] = _random_smooth_1d(
+                    keys[2 + i], B, edge_lengths[name],
+                    cfg.boundary_mode_range, cfg.magnitude_range,
+                )
         else:
             boundaries[name] = jnp.zeros((B, edge_lengths[name], 1))
 

@@ -19,7 +19,7 @@ from .metalearning import MetaConv, MetaResNetBlock, MetaDeconvUpscale
 
 
 def _pool(x, factor: int, method: str):
-    window = (factor, factor)
+    window = (factor,) * (x.ndim - 2)
     if method in ("average", "avg"):
         return nn.avg_pool(x, window, strides=window, padding="SAME")
     return nn.max_pool(x, window, strides=window, padding="SAME")

@@ -137,7 +137,9 @@ def spatial_pyramid_pool(
     for level in levels:
         if isinstance(level, int):
             bins = [level] * nd
-        elif len(level) == 1:
+        elif len(level) != nd:
+            # per-dim spec of mismatched rank (e.g. a 2-D (2, 2) level applied
+            # to 1-D/3-D input): broadcast the first entry
             bins = [level[0]] * nd
         else:
             bins = list(level)
@@ -294,14 +296,16 @@ class Scaling(nn.Module):
 
     @nn.compact
     def __call__(self, out, rhs):
+        nd = out.ndim - 2
         x = jnp.concatenate([out, rhs], axis=-1)
         r = self.downsampling_ratio_per_stage
         for _ in range(self.stages):
             x = PadConv(self.filters, self.kernel_size, self.activation)(x)
-            if min(x.shape[1], x.shape[2]) >= r:
-                x = nn.avg_pool(x, (r, r), strides=(r, r), padding="VALID")
+            if min(x.shape[1:-1]) >= r:
+                window = (r,) * nd
+                x = nn.avg_pool(x, window, strides=window, padding="VALID")
         feats = spatial_pyramid_pool(x, self.spp_levels)
         for u in self.dense_units:
             feats = resolve_activation(self.activation)(nn.Dense(u)(feats))
         s = nn.Dense(1)(feats)  # (B, 1)
-        return out * (1.0 + s)[:, :, None, None]
+        return out * (1.0 + s).reshape((-1,) + (1,) * nd + (1,))

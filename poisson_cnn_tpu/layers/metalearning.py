@@ -29,15 +29,18 @@ def _patches(x: jax.Array, ks, strides, dilation=None) -> jax.Array:
     """Extract VALID patches of NHWC input; output (B, *spatial', Cin*prod(ks))
     with feature ordering (Cin-major, then row-major spatial offsets)."""
     nd = x.ndim - 2
+    specs = {
+        1: ("NHC", "OIH", "NHC"),
+        2: ("NHWC", "OIHW", "NHWC"),
+        3: ("NDHWC", "OIDHW", "NDHWC"),
+    }
     return jax.lax.conv_general_dilated_patches(
         x,
         filter_shape=tuple(ks),
         window_strides=tuple(strides),
         padding="VALID",
         rhs_dilation=None if dilation is None else tuple(dilation),
-        dimension_numbers=(
-            ("NHC", "OIH", "NHC") if nd == 1 else ("NHWC", "OIHW", "NHWC")
-        ),
+        dimension_numbers=specs[nd],
     )
 
 

@@ -109,13 +109,16 @@ class HPNN(nn.Module):
 
     @nn.compact
     def __call__(self, rhs: jax.Array, dx: jax.Array, train: bool = False):
+        """rhs: (B, *spatial, 1) with 1-3 spatial dims (the reference's N-D
+        support, `Homogeneous_Poisson_NN.py:150-188`); dx: (B, 1|nd)."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype) if cfg.dtype else rhs.dtype
         act = cfg.activation
-        B, H, W, _ = rhs.shape
-        grid_shape = (H, W)
+        B = rhs.shape[0]
+        grid_shape = rhs.shape[1:-1]
+        nd = len(grid_shape)
         if dx.shape[-1] == 1:
-            dx2 = jnp.broadcast_to(dx, (B, 2))
+            dx2 = jnp.broadcast_to(dx, (B, nd))
         else:
             dx2 = dx
         domain_sizes = compute_domain_sizes(dx2, grid_shape)
@@ -151,7 +154,7 @@ class HPNN(nn.Module):
             cfg.deconv_kernel_sizes,
             cfg.deconv_conv_kernel_sizes,
         ):
-            if min(H, W) < 2 * ds:
+            if min(grid_shape) < 2 * ds:
                 continue
             branch_results.append(
                 block_cls(
@@ -176,7 +179,7 @@ class HPNN(nn.Module):
             cfg.resize_conv_kernel_sizes,
             cfg.resize_methods,
         ):
-            if min(H, W) < 2 * ds:
+            if min(grid_shape) < 2 * ds:
                 continue
             branch_results.append(
                 block_cls(
@@ -215,7 +218,7 @@ class HPNN(nn.Module):
         for u in cfg.dx_mlp_units:
             h = resolve_activation("leaky_relu")(nn.Dense(u, dtype=dtype)(h))
         h = nn.Dense(cfg.bottleneck_filters, dtype=dtype)(h)  # linear
-        out = out * h[:, None, None, :]
+        out = out * h.reshape((B,) + (1,) * nd + (-1,))
 
         # final conv stack
         n_final = len(cfg.final_filters)
@@ -234,12 +237,12 @@ class HPNN(nn.Module):
 
         # BC enforcement: crop the border, re-pad (zero = Dirichlet, symmetric
         # = Neumann) — `Homogeneous_Poisson_NN_Legacy.py:106-113,251`.
-        inner = out[:, 1:-1, 1:-1, :]
-        pad_mode = "constant" if cfg.bc_type == "dirichlet" else "symmetric"
-        if pad_mode == "constant":
-            out = jnp.pad(inner, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        inner = out[(slice(None),) + (slice(1, -1),) * nd + (slice(None),)]
+        pad_cfg = ((0, 0),) + ((1, 1),) * nd + ((0, 0),)
+        if cfg.bc_type == "dirichlet":
+            out = jnp.pad(inner, pad_cfg)
         else:
-            out = jnp.pad(inner, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="symmetric")
+            out = jnp.pad(inner, pad_cfg, mode="symmetric")
 
         out = out.astype(rhs.dtype)
         if cfg.postsmoother_iterations > 0:
@@ -260,5 +263,5 @@ class HPNN(nn.Module):
                 factors = peak_magnitudes(raw_rhs) / (
                     peak_magnitudes(lap) + 1e-30
                 )
-            out = out * factors[:, None, None, None]
+            out = out * factors.reshape((B,) + (1,) * (nd + 1))
         return out

@@ -212,7 +212,10 @@ def _bicgstab(matvec, b, n_iterations):
         return jax.lax.cond(live, do, lambda args: args, (x, r, p, rho))
 
     x, _, _, _ = jax.lax.fori_loop(0, n_iterations, body, (x, r, p, rho))
-    return x
+    # a non-finite system must produce a non-finite result: the freeze guard
+    # (NaN comparisons are False) would otherwise return the pristine zero
+    # initial state and silently mask an upstream blow-up
+    return jnp.where(jnp.isfinite(rs0), x, jnp.full_like(x, jnp.nan))
 
 
 def _onesided_wall_value(f1, f2, f3):

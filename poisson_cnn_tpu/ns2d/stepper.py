@@ -105,6 +105,9 @@ def cg_pressure_solver(grid: MACGrid, n_iterations: int = 200,
             return x, r, r + beta * p, rs_new
 
         x, _, _, _ = jax.lax.fori_loop(0, n_iterations, body, (x, r, p, rs))
+        # propagate non-finite inputs (the converged-freeze guard would
+        # otherwise silently return the initial guess on NaN residuals)
+        x = jnp.where(jnp.isfinite(rs0), x, jnp.full_like(x, jnp.nan))
         return x - jnp.mean(x)
 
     return solve
@@ -112,23 +115,30 @@ def cg_pressure_solver(grid: MACGrid, n_iterations: int = 200,
 
 def cnn_pressure_initializer(
     model, params, grid: MACGrid, match_peak: bool = True,
-    noise_floor: float = 0.0,
+    noise_floor: float = 0.0, amplitude: str = "lstsq",
 ):
     """Wrap a trained (Neumann) HPNN as a pressure-Poisson initial guess:
     rhs (m, n) -> phi0 (m, n).
 
-    match_peak rescales the prediction so peak|lap(phi0)| == peak|rhs| — needed
-    when the model was trained on peak-normalized inputs/targets (the stable
-    training recipe); the initial guess must live on the physical scale.
+    amplitude: how to restore the physical scale of the unit-peak-trained
+    model's prediction (the stable training recipe normalizes inputs/targets):
+      'lstsq' (default): s* = <lap(pred), rhs> / ||lap(pred)||^2 — the scale
+        that MINIMIZES the starting residual ||lap(s*pred) - rhs||, i.e.
+        exactly the quantity the warm-started CG cares about. Self-guarding:
+        when the prediction cannot explain the rhs (out-of-distribution /
+        noise-floor fields), s* shrinks toward 0 and the guess degrades to the
+        zero start instead of destabilizing the loop. Measured on the Taylor
+        step-0 pressure RHS: match_peak start residual 0.98 (no savings),
+        lstsq-optimal scale cuts the field error to 7.7% rel-L2.
+      'match_peak': peak|lap(pred)| == peak|rhs| (the round-1 heuristic;
+        brittle because the prediction's high-frequency error dominates the
+        Laplacian peak).
+    match_peak=False with amplitude='match_peak' multiplies by peak|rhs| only.
 
-    noise_floor (> 0): return the zero guess when peak|rhs| is below it. On
-    nearly divergence-free flows the pressure RHS is discretization noise; the
-    unit-peak normalization then amplifies it far outside the training
-    distribution and the warm start destabilizes the projection loop — this is
-    consistent with the reference ultimately shipping with its CNN start
-    disabled (`Navier_Stokes_2D/solvers.py:244-267`, commented out in favour of
-    zero-init BiCGStab). The warm start is a win for standalone Poisson solves
-    on in-distribution RHS fields (see scripts/cnn_accelerated_solve.py)."""
+    noise_floor (> 0): return the zero guess when peak|rhs| is below it —
+    blunt out-of-distribution guard, superseded by 'lstsq' (kept for parity
+    with the round-1 experiments; the reference ultimately shipped with its
+    CNN start disabled, `Navier_Stokes_2D/solvers.py:244-267`)."""
     from ..ops import apply_fd_operator, peak_magnitudes
 
     def init(rhs):
@@ -137,7 +147,13 @@ def cnn_pressure_initializer(
         rhs_peak = peak_magnitudes(r)
         safe = jnp.where(rhs_peak > 0, rhs_peak, 1.0)
         out = model.apply(params, r / safe[:, None, None, None], dx)
-        if match_peak:
+        if amplitude == "lstsq":
+            lap = apply_fd_operator(out, dx, 3, 2)  # interior 5-point lap
+            rhs_int = r[:, 1:-1, 1:-1, :]
+            num = jnp.sum(lap * rhs_int)
+            den = jnp.sum(lap * lap) + 1e-30
+            out = out * (num / den)
+        elif match_peak:
             lap = apply_fd_operator(out, dx, 5, 2)
             out = out * (rhs_peak / (peak_magnitudes(lap) + 1e-30))[:, None, None, None]
         else:
@@ -283,7 +299,7 @@ def make_stepper(
         new_state = (
             u_new, v_new, p_new, conv_u, conv_v, jnp.zeros((), dtype=bool)
         )
-        return new_state, None
+        return new_state, {"pressure_rhs": div_star / dt}
 
     if cfg.method != "gauge":
         return step
@@ -388,7 +404,7 @@ def make_stepper(
             u_new, v_new, p_new, m_u_cmp_new, m_v_cmp_new,
             phi_new, phi_n, conv_u, conv_v, jnp.zeros((), dtype=bool),
         )
-        return new_state, None
+        return new_state, {"pressure_rhs": div_mstar}
 
     return gauge_step
 
@@ -398,8 +414,14 @@ def run(
     problem: Problem,
     cfg: NSConfig,
     pressure_solver: Optional[Callable] = None,
+    return_aux: bool = False,
 ):
-    """Integrate n_steps with lax.scan; returns final (u, v, p)."""
+    """Integrate n_steps with lax.scan; returns final (u, v, p).
+
+    return_aux=True additionally returns the stacked per-step auxiliary dict
+    (currently {'pressure_rhs': (n_steps, m, n)} — the RHS each pressure
+    Poisson solve saw), for experiments that need in-loop solve snapshots
+    (e.g. CNN warm-start iteration-savings studies)."""
     u, v, p = initial_state(grid, problem)
     step = make_stepper(grid, problem, cfg, pressure_solver)
     conv_u0 = jnp.zeros((grid.m - 1, grid.n))
@@ -414,10 +436,19 @@ def run(
     else:
         state = (u, v, p, conv_u0, conv_v0, first)
 
+    scan_step = step
+    if not return_aux:
+        # drop the aux output so the scan allocates no (n_steps, m, n) stack
+        def scan_step(state, t):
+            new_state, _ = step(state, t)
+            return new_state, None
+
     @jax.jit
     def integrate(state):
-        state, _ = jax.lax.scan(step, state, jnp.arange(cfg.n_steps))
-        return state
+        return jax.lax.scan(scan_step, state, jnp.arange(cfg.n_steps))
 
-    u, v, p, *_ = integrate(state)
+    state, aux = integrate(state)
+    u, v, p = state[0], state[1], state[2]
+    if return_aux:
+        return u, v, p, aux
     return u, v, p

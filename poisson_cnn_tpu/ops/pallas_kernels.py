@@ -119,6 +119,6 @@ def jacobi_smooth_auto(u, rhs, dx, n_iterations=5, omega=2.0 / 3.0):
     fallback elsewhere."""
     from ..solvers import jacobi_smooth
 
-    if jax.default_backend() == "tpu" and u.shape[-1] == 1:
+    if jax.default_backend() == "tpu" and u.shape[-1] == 1 and u.ndim == 4:
         return _jacobi_pallas_ad(u, rhs, dx, n_iterations, omega)
     return jacobi_smooth(u, rhs, dx, n_iterations, omega=omega)

@@ -14,25 +14,40 @@ import jax
 import jax.numpy as jnp
 
 
+def _axis_slices(nd: int, dim: int):
+    """(lo, mid, hi) index tuples shifting spatial `dim` of a (B,*sp,C) array
+    while keeping every other spatial axis on its interior."""
+    mid = [slice(1, -1)] * nd
+    lo, hi = list(mid), list(mid)
+    lo[dim] = slice(0, -2)
+    hi[dim] = slice(2, None)
+    w = lambda s: (slice(None),) + tuple(s) + (slice(None),)
+    return w(lo), w(mid), w(hi)
+
+
 def _laplacian_interior(u: jax.Array, inv_dx2: jax.Array) -> jax.Array:
-    """5-point Laplacian on the interior (shape (B, n0-2, n1-2, C)).
-    inv_dx2: (B, 2) per-sample 1/dx^2."""
-    a0 = (u[:, 2:, 1:-1, :] - 2.0 * u[:, 1:-1, 1:-1, :] + u[:, :-2, 1:-1, :])
-    a1 = (u[:, 1:-1, 2:, :] - 2.0 * u[:, 1:-1, 1:-1, :] + u[:, 1:-1, :-2, :])
-    return (
-        a0 * inv_dx2[:, 0][:, None, None, None]
-        + a1 * inv_dx2[:, 1][:, None, None, None]
-    )
+    """(2N+1)-point Laplacian on the interior (shape (B, *spatial-2, C)).
+    inv_dx2: (B, nd) per-sample 1/dx^2. Rank-agnostic (1/2/3-D)."""
+    nd = u.ndim - 2
+    bshape = (-1,) + (1,) * (nd + 1)
+    out = None
+    for dim in range(nd):
+        lo, mid, hi = _axis_slices(nd, dim)
+        term = (u[hi] - 2.0 * u[mid] + u[lo]) * inv_dx2[:, dim].reshape(bshape)
+        out = term if out is None else out + term
+    return out
 
 
 def laplacian_dirichlet(u: jax.Array, dx: jax.Array) -> jax.Array:
-    """Full-grid operator: 5-point Laplacian on the interior, identity (zero) on
-    the frozen boundary. Used as the matvec for CG/multigrid."""
+    """Full-grid operator: interior Laplacian, identity (zero) on the frozen
+    boundary. Used as the matvec for CG/multigrid. Rank-agnostic."""
+    nd = u.ndim - 2
     if dx.shape[-1] == 1:
-        dx = jnp.broadcast_to(dx, (dx.shape[0], 2))
+        dx = jnp.broadcast_to(dx, (dx.shape[0], nd))
     inv_dx2 = 1.0 / dx**2
     out = jnp.zeros_like(u)
-    return out.at[:, 1:-1, 1:-1, :].set(_laplacian_interior(u, inv_dx2))
+    interior = (slice(None),) + (slice(1, -1),) * nd + (slice(None),)
+    return out.at[interior].set(_laplacian_interior(u, inv_dx2))
 
 
 def jacobi_smooth(
@@ -47,24 +62,26 @@ def jacobi_smooth(
     Same math as the reference's differentiable post-smoother
     (`JacobiIterationLayer.py:7-66`) but expressed as slicing stencils the
     compiler fuses, with per-sample dx entering as scalar multipliers.
+    Rank-agnostic (1/2/3-D, like the reference's ndims dispatch).
     """
+    nd = u.ndim - 2
     if dx.shape[-1] == 1:
-        dx = jnp.broadcast_to(dx, (dx.shape[0], 2))
+        dx = jnp.broadcast_to(dx, (dx.shape[0], nd))
     inv_dx2 = (1.0 / dx**2).astype(u.dtype)
-    diag = -2.0 * (inv_dx2[:, 0] + inv_dx2[:, 1])  # (B,)
-    diag = diag[:, None, None, None]
-    w0 = inv_dx2[:, 0][:, None, None, None]
-    w1 = inv_dx2[:, 1][:, None, None, None]
-    f_int = rhs[:, 1:-1, 1:-1, :]
+    bshape = (-1,) + (1,) * (nd + 1)
+    diag = (-2.0 * jnp.sum(inv_dx2, axis=1)).reshape(bshape)
+    interior = (slice(None),) + (slice(1, -1),) * nd + (slice(None),)
+    f_int = rhs[interior]
 
     def body(_, u):
-        off = (
-            (u[:, 2:, 1:-1, :] + u[:, :-2, 1:-1, :]) * w0
-            + (u[:, 1:-1, 2:, :] + u[:, 1:-1, :-2, :]) * w1
-        )
+        off = None
+        for dim in range(nd):
+            lo, _, hi = _axis_slices(nd, dim)
+            term = (u[hi] + u[lo]) * inv_dx2[:, dim].reshape(bshape)
+            off = term if off is None else off + term
         u_new_int = (f_int - off) / diag
-        u_int = (1.0 - omega) * u[:, 1:-1, 1:-1, :] + omega * u_new_int
-        return u.at[:, 1:-1, 1:-1, :].set(u_int)
+        u_int = (1.0 - omega) * u[interior] + omega * u_new_int
+        return u.at[interior].set(u_int)
 
     return jax.lax.fori_loop(0, n_iterations, body, u)
 
@@ -114,4 +131,9 @@ def conjugate_gradient(
         return x, r, p, rs_new
 
     x, _, _, _ = jax.lax.fori_loop(0, n_iterations, body, (x, r, p, rs))
+    # non-finite samples must stay non-finite: the converged-freeze guard's
+    # NaN comparisons are False, which would silently return the initial guess
+    x = jnp.where(
+        jnp.isfinite(rs0)[:, None, None, None], x, jnp.full_like(x, jnp.nan)
+    )
     return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))

@@ -1,15 +1,24 @@
-"""Navier–Stokes pressure-solve experiment: few-iteration CG warm-started by
-the trained Neumann HPNN vs zero-started, inside the full projection loop.
+"""Navier-Stokes CNN-in-the-loop experiment, quantified and committed.
 
-This reproduces the reference's headline application experiment
-(`Navier_Stokes_2D/solvers.py:244-267`: maxiter=2 BiCGStab from a CNN initial
-guess) with our trained checkpoint and measures final velocity error on the
-Taylor vortex.
+Reproduces the reference's headline application experiment
+(`Navier_Stokes_2D/solvers.py:244-267`: few-iteration BiCGStab warm-started by
+a trained HPNN inside the projection loop) with two measurements:
 
-Usage: python scripts/ns_cnn_experiment.py --checkpoint checkpoints/hpnn_neumann/step_20000
+1. In-loop equal-budget table (Taylor vortex + lid-driven cavity at --grid^2):
+   exact DCT solve vs k-iteration CG from zero vs k-iteration CG from the CNN
+   prediction — final velocity error (Taylor has an exact solution) and
+   max |div u| (both problems).
+2. Iteration-savings table: collect the actual pressure-Poisson RHS fields the
+   loop produces (via `ns2d.run(..., return_aux=True)`), then measure CG
+   iterations to fixed relative residual from zero vs from the CNN guess.
+
+Writes JSON to checkpoints/ns_cnn_results.json (committed, like the PCNN eval).
+
+Usage: python scripts/ns_cnn_experiment.py --checkpoint checkpoints/hpnn_neumann/step_12000
 """
 
 import argparse
+import dataclasses
 import json
 import math
 import os
@@ -27,25 +36,75 @@ if os.environ.get("CNN_SOLVE_CPU"):
     except Exception:
         pass
 import jax.numpy as jnp
+import numpy as np
 
 from poisson_cnn_tpu import ns2d
 from poisson_cnn_tpu.models import HPNN
 from poisson_cnn_tpu.train.loop import restore_checkpoint
 import train_hpnn_demo as hdemo
-import dataclasses
+
+
+def cg_residual_history(grid, rhs, max_iters, x0=None, exact=None):
+    """Relative residual ||r_k|| / ||r_ref|| per CG iteration on the Neumann
+    pressure problem (same operator as `ns2d.cg_pressure_solver`). With
+    `exact`, also returns the relative FIELD error ||x_k - exact||/||exact||
+    per iteration — the quantity the projection loop actually consumes."""
+
+    def neg_lap(p):
+        pc = jnp.pad(p, ((1, 1), (1, 1)), mode="edge")
+        return -(
+            (pc[2:, 1:-1] - 2 * p + pc[:-2, 1:-1]) / grid.dx**2
+            + (pc[1:-1, 2:] - 2 * p + pc[1:-1, :-2]) / grid.dy**2
+        )
+
+    def ferr(x):
+        if exact is None:
+            return 0.0
+        d = (x - jnp.mean(x)) - (exact - jnp.mean(exact))
+        return float(jnp.linalg.norm(d) / (jnp.linalg.norm(exact) + 1e-30))
+
+    b = -(rhs - jnp.mean(rhs))
+    ref = jnp.linalg.norm(b) + 1e-30
+    x = jnp.zeros_like(b) if x0 is None else (x0 - jnp.mean(x0))
+    r = b - neg_lap(x)
+    p = r
+    rs = jnp.sum(r * r)
+    hist = [float(jnp.sqrt(rs)) / float(ref)]
+    fhist = [ferr(x)]
+    for _ in range(max_iters):
+        ap = neg_lap(p)
+        denom = jnp.sum(p * ap)
+        alpha = rs / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.sum(r * r)
+        beta = rs_new / jnp.where(rs == 0, 1.0, rs)
+        p = r + beta * p
+        rs = rs_new
+        hist.append(float(jnp.sqrt(rs)) / float(ref))
+        fhist.append(ferr(x))
+    if exact is None:
+        return np.asarray(hist)
+    return np.asarray(hist), np.asarray(fhist)
+
+
+def iters_to_tol(hist, tol):
+    idx = np.nonzero(hist <= tol)[0]
+    return int(idx[0]) if idx.size else None
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--checkpoint", required=True)
-    p.add_argument("--grid", type=int, default=64)
+    p.add_argument("--checkpoint", default="checkpoints/hpnn_neumann/step_12000")
+    p.add_argument("--grid", type=int, default=100)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--dt", type=float, default=2.5e-4)
     p.add_argument("--cg_iters", type=int, default=4)
+    p.add_argument("--n_snapshots", type=int, default=8)
+    p.add_argument("--out", default="/root/repo/checkpoints/ns_cnn_results.json")
     args = p.parse_args()
 
     grid = ns2d.MACGrid(args.grid, args.grid, 0.0, math.pi, 0.0, math.pi)
-    problem = ns2d.taylor_vortex(Re=1.0)
 
     model_cfg = dataclasses.replace(hdemo.BIG_MODEL, bc_type="neumann")
     model = HPNN(model_cfg)
@@ -55,24 +114,97 @@ def main():
         jnp.full((1, 2), grid.dx),
     )
     params, _ = restore_checkpoint(os.path.abspath(args.checkpoint), params)
+    # lstsq amplitude: residual-minimizing scale, self-guarding on
+    # out-of-distribution / noise-floor RHS fields (scale -> 0)
     init = ns2d.cnn_pressure_initializer(model, params, grid)
+    # guarded variant for the tightly-budgeted in-loop solve: k=4 CG iterations
+    # cannot clean the prediction's high-frequency error before it feeds back
+    # through the projection, so gate the warm start to significant-RHS steps
+    # (round-1 finding; the reference itself ships with its CNN start disabled,
+    # `solvers.py:244-267`)
+    init_guarded = ns2d.cnn_pressure_initializer(
+        model, params, grid, noise_floor=0.5
+    )
 
-    results = {}
-    for name, solver in [
-        ("exact_dct", None),
-        (f"cg{args.cg_iters}_zero", ns2d.cg_pressure_solver(grid, args.cg_iters)),
-        (f"cg{args.cg_iters}_cnn", ns2d.cg_pressure_solver(grid, args.cg_iters, init)),
-    ]:
-        cfg = ns2d.NSConfig(method="alg1", Re=1.0, dt=args.dt, n_steps=args.steps,
-                            helmholtz_iterations=80)
-        u, v, pfield = ns2d.run(grid, problem, cfg, solver)
-        t_end = args.steps * args.dt
-        verr = ns2d.velocity_error(u, v, grid, problem, t_end)
-        div = float(jnp.abs(ns2d.divergence(u, v, grid)).max())
-        results[name] = {"velocity_l2": verr["u"]["l2"], "max_div": div}
-        print(f"{name:14s}: velocity L2 err {verr['u']['l2']:.3e}, max|div u| {div:.2e}",
-              flush=True)
-    print(json.dumps(results))
+    results = {"config": vars(args)}
+
+    # --- 1. in-loop equal-budget comparison ---
+    problems = {
+        "taylor": (ns2d.taylor_vortex(Re=1.0), 1.0),
+        "driven_cavity": (ns2d.driven_cavity(lid_velocity=1.0, y_top=math.pi), 100.0),
+    }
+    for pname, (problem, Re) in problems.items():
+        table = {}
+        for sname, solver in [
+            ("exact_dct", None),
+            (f"cg{args.cg_iters}_zero", ns2d.cg_pressure_solver(grid, args.cg_iters)),
+            (f"cg{args.cg_iters}_cnn", ns2d.cg_pressure_solver(grid, args.cg_iters, init)),
+            (f"cg{args.cg_iters}_cnn_guarded",
+             ns2d.cg_pressure_solver(grid, args.cg_iters, init_guarded)),
+        ]:
+            cfg = ns2d.NSConfig(method="alg1", Re=Re, dt=args.dt,
+                                n_steps=args.steps, helmholtz_iterations=80)
+            u, v, pf = ns2d.run(grid, problem, cfg, solver)
+            finite = bool(jnp.isfinite(u).all() and jnp.isfinite(v).all())
+            div = float(jnp.abs(ns2d.divergence(u, v, grid)).max())
+            entry = {"max_div": div if np.isfinite(div) else None,
+                     "finite": finite}
+            if problem.u_exact is not None and finite:
+                verr = ns2d.velocity_error(u, v, grid, problem, args.steps * args.dt)
+                entry["velocity_l2"] = verr["u"]["l2"]
+            table[sname] = entry
+            print(pname, sname, entry, flush=True)
+        results[pname] = table
+
+    # --- 2. iteration savings on the loop's own pressure RHS fields ---
+    savings = {}
+    for pname, (problem, Re) in problems.items():
+        cfg = ns2d.NSConfig(method="alg1", Re=Re, dt=args.dt,
+                            n_steps=args.steps, helmholtz_iterations=80)
+        u, v, pf, aux = ns2d.run(grid, problem, cfg, return_aux=True)
+        rhs_all = np.asarray(aux["pressure_rhs"])
+        idx = np.linspace(0, args.steps - 1, args.n_snapshots).astype(int)
+        exact_solve = ns2d.dct_pressure_solver(grid)
+        rows = []
+        for i in idx:
+            rhs = jnp.asarray(rhs_all[i])
+            exact = exact_solve(rhs)
+            guess = init(rhs)
+            h0, f0 = cg_residual_history(grid, rhs, 200, exact=exact)
+            hc, fc = cg_residual_history(grid, rhs, 200, x0=guess, exact=exact)
+            row = {"step": int(i),
+                   "rhs_peak": float(jnp.abs(rhs).max()),
+                   "start_rel_residual_zero": float(h0[0]),
+                   "start_rel_residual_cnn": float(hc[0]),
+                   "cnn_field_rel_l2": float(fc[0])}
+            for tol in (1e-1, 1e-2, 1e-3):
+                row[f"iters_zero_tol{tol:g}"] = iters_to_tol(h0, tol)
+                row[f"iters_cnn_tol{tol:g}"] = iters_to_tol(hc, tol)
+            # iterations the zero start needs to match the CNN's instant field
+            # error (the CNN's real value: a direct approximator, not a Krylov
+            # preconditioner — its error is broad-spectrum, so residual-norm
+            # tolerances barely move; field error is what the projection uses)
+            row["zero_iters_to_match_cnn_field"] = iters_to_tol(f0, fc[0])
+            rows.append(row)
+            print(pname, row, flush=True)
+        savings[pname] = rows
+    results["iteration_savings"] = savings
+    results["summary"] = (
+        "Negative result, quantified: the CNN warm start does not pay inside "
+        "the projection loop. Its prediction error is broad-spectrum, so CG "
+        "residual tolerances are reached in the same iterations as a zero "
+        "start (iteration_savings tables), and with a tight k-iteration "
+        "budget the uncleaned high-frequency error feeds back through the "
+        "projection until the run diverges (finite: false rows). This matches "
+        "the reference shipping with its CNN start commented out "
+        "(solvers.py:244-267). The CNN pays as a standalone direct solver on "
+        "in-distribution RHS (scripts/cnn_accelerated_solve.py: raw guess "
+        "beats 80 zero-init CG iterations)."
+    )
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", args.out)
 
 
 if __name__ == "__main__":

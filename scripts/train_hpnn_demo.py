@@ -135,6 +135,21 @@ def main():
         "run at bf16 mantissa by default — the prime suspect for the "
         "TPU-only late-training drift; 'highest' forces true fp32.",
     )
+    p.add_argument(
+        "--norm", action="store_true",
+        help="enable GroupNorm in the mid model (drift study: HPNN-Fast "
+        "with norms trains stably; the unnormalized mid model drifts)",
+    )
+    p.add_argument(
+        "--opt", default="adam", choices=["adam", "adam-eps5", "sgd", "adamw"],
+        help="optimizer A/B for the drift study: 'adam-eps5' raises Adam's "
+        "eps to 1e-5 (second-moment noise floor against low-precision "
+        "gradient noise); 'sgd' = momentum SGD (no adaptive scaling at all); "
+        "'adamw' = decoupled weight decay 1e-4 (counteracts Adam's "
+        "unit-scale random walk along the output-normalization's "
+        "zero-gradient scale directions — the drift signature is steady "
+        "pnorm growth tracking the loss rise).",
+    )
     args = p.parse_args()
 
     if args.matmul_precision and args.matmul_precision != "default":
@@ -144,6 +159,8 @@ def main():
 
     global DATA
     model_cfg = BIG_MODEL if args.big else MODEL
+    if args.norm:
+        model_cfg = _dc.replace(model_cfg, use_batchnorm=True)
     if args.neumann:
         model_cfg = _dc.replace(model_cfg, bc_type="neumann")
         DATA = _dc.replace(DATA, bc="neumann", include_taylor=False)
@@ -169,9 +186,21 @@ def main():
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, 200, args.steps, args.lr * 0.05
     )
+    if args.opt == "sgd":
+        inner = optax.sgd(
+            optax.warmup_cosine_decay_schedule(0.0, args.lr * 50, 200,
+                                               args.steps, args.lr * 2.5),
+            momentum=0.9,
+        )
+    elif args.opt == "adam-eps5":
+        inner = optax.adam(schedule, eps=1e-5)
+    elif args.opt == "adamw":
+        inner = optax.adamw(schedule, weight_decay=1e-4)
+    else:
+        inner = optax.adam(schedule)
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adam(schedule),
+        inner,
     )
     opt_state = jax.device_put(tx.init(params), jax.devices()[0])
 
@@ -208,8 +237,18 @@ def main():
         running.append(float(loss))
         if (it + 1) % 200 == 0:
             window = float(np.mean(running[-200:]))
+            # global param norm: the soln_max_magnitude output normalization
+            # leaves the raw-output SCALE as a zero-gradient direction, so any
+            # systematic weight-norm drift is noise-driven — log it to check
+            # whether the late-training loss drift tracks a param-norm walk
+            pnorm = float(
+                jnp.sqrt(
+                    sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                        for x in jax.tree_util.tree_leaves(params))
+                )
+            )
             print(
-                f"step {it+1}: loss={window:.5f} "
+                f"step {it+1}: loss={window:.5f} pnorm={pnorm:.3f} "
                 f"({(it+1)/(time.time()-t0):.2f} steps/s)",
                 flush=True,
             )

@@ -249,3 +249,38 @@ def test_upsample_nearest():
     y = layers.Upsample("nearest").apply({}, x, (8, 1))
     assert y.shape == (1, 8, 1, 1)
     np.testing.assert_allclose(np.asarray(y[0, :2, 0, 0]), [0.0, 0.0])
+
+
+def test_per_sample_conv_3d_matches_vmapped_lax_conv():
+    """3-D implicit-GEMM per-sample conv equals a per-sample lax conv
+    (reference dispatches conv3d, `layers/metalearning_conv.py:35-49`)."""
+    key = jax.random.PRNGKey(11)
+    B, D, H, W, Cin, Cout, k = 2, 6, 7, 8, 2, 3, 3
+    x = jax.random.normal(key, (B, D, H, W, Cin))
+    kernels = jax.random.normal(jax.random.PRNGKey(12), (B, Cin, k, k, k, Cout))
+
+    got = layers.per_sample_conv(x, kernels, padding_mode="constant")
+
+    def one(xb, kb):
+        w = jnp.transpose(kb, (1, 2, 3, 0, 4))  # -> DHWIO
+        return jax.lax.conv_general_dilated(
+            xb[None], w, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[0]
+
+    want = jax.vmap(one)(x, kernels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_jacobi_layer_3d_reduces_residual():
+    key = jax.random.PRNGKey(13)
+    u = jnp.zeros((1, 9, 9, 9, 1))
+    rhs = jax.random.normal(key, (1, 9, 9, 9, 1))
+    dx = jnp.full((1, 3), 0.1)
+    m = layers.JacobiIterationLayer(n_iterations=20)
+    out = m.apply({}, u, rhs, dx)
+    from poisson_cnn_tpu import solvers
+    interior = (slice(None),) + (slice(1, -1),) * 3
+    r0 = jnp.linalg.norm(rhs[interior])
+    r1 = jnp.linalg.norm((rhs - solvers.laplacian_dirichlet(out, dx))[interior])
+    assert float(r1) < float(r0)

@@ -245,3 +245,39 @@ def test_numerical_multigrid_fallback_non_coarsenable():
     # coarsenable shape still uses the real V-cycle path (no exception, finite)
     batch2 = generate_numerical_batch(jax.random.PRNGKey(1), cfg, (33, 33))
     assert bool(jnp.isfinite(batch2["soln"]).all())
+
+
+def test_numerical_coarse_noise_mode_physics():
+    """field_type='coarse_noise' reproduces the reference's training
+    distribution (coarse uniform noise bicubic-supersampled,
+    `dataset/generators/numerical.py:10-72`): ground truth still satisfies the
+    FD operator, boundary rows carry the requested (non-vanishing) data."""
+    from poisson_cnn_tpu.data import GridSamplingConfig
+    from poisson_cnn_tpu.data.numerical import NumericalConfig, generate_numerical_batch
+    from poisson_cnn_tpu.ops import apply_fd_operator
+
+    cfg = NumericalConfig(
+        batch_size=3,
+        grids=GridSamplingConfig(((24, 40), (24, 40)), (5e-3, 5e-2)),
+        rhs="random",
+        nonzero_boundaries=("left", "top", "right", "bottom"),
+        field_type="coarse_noise",
+    )
+    batch = generate_numerical_batch(jax.random.PRNGKey(5), cfg, (33, 39))
+    soln, rhs, dx = batch["soln"], batch["rhs"], batch["dx"]
+    assert bool(jnp.isfinite(soln).all())
+    lap = apply_fd_operator(soln, dx, 3, 2)
+    interior = rhs[:, 1:-1, 1:-1]
+    rel = float(jnp.linalg.norm(lap - interior) / (jnp.linalg.norm(interior) + 1e-30))
+    assert rel < 5e-3, rel
+    # solution border equals the requested boundary data away from corners
+    # (at corners adjacent edges disagree for non-vanishing data; the imposed
+    # value is the last edge written — same ambiguity as the reference)
+    np.testing.assert_allclose(
+        np.asarray(soln[:, 0, 1:-1, 0]),
+        np.asarray(batch["boundaries"]["left"][:, 1:-1, 0]),
+        atol=1e-5,
+    )
+    # coarse-noise boundaries need not vanish at endpoints (unlike 'series')
+    corner = np.abs(np.asarray(batch["boundaries"]["left"][:, 0, 0]))
+    assert corner.max() > 1e-3

@@ -400,3 +400,69 @@ def test_hpnn_fast_flop_reduction():
     flagship = flops_of(HPNN(HPNNConfig()))
     assert fast > 0 and flagship > 0
     assert flagship / fast >= 10.0, (flagship, fast)
+
+
+_ND_SMALL = dict(
+    pre_filters=(4, 8), pre_kernel_sizes=(5, 3),
+    deconv_downsampling_factors=(2,), deconv_kernel_sizes=(2,),
+    deconv_conv_kernel_sizes=(3,), resize_downsampling_factors=(4,),
+    resize_conv_kernel_sizes=(3,), resize_methods=("bilinear",),
+    bottleneck_filters=8, bottleneck_n_convs=1, final_filters=(8, 1),
+    final_kernel_sizes=(3, 3), dx_mlp_units=(8,),
+)
+
+
+@pytest.mark.parametrize("shape", [(33,), (17, 17, 17)])
+def test_hpnn_nd_forward_bc_and_grad(shape):
+    """HPNN is rank-agnostic like the reference's N-D model
+    (`Homogeneous_Poisson_NN.py:150-188`): 1-D and 3-D forward, Dirichlet
+    border exactly zero, finite gradients, Scaling + Jacobi postsmoother on."""
+    from poisson_cnn_tpu.data.reverse_nd import ReverseNDConfig, generate_batch_nd
+
+    nd = len(shape)
+    cfg = HPNNConfig(**_ND_SMALL, use_scaling=True, postsmoother_iterations=2)
+    model = HPNN(cfg)
+    batch = generate_batch_nd(jax.random.PRNGKey(0), ReverseNDConfig(batch_size=2), shape)
+    params = model.init(jax.random.PRNGKey(1), batch["rhs"], batch["dx"])
+    out = model.apply(params, batch["rhs"], batch["dx"])
+    assert out.shape == batch["rhs"].shape
+    for ax in range(nd):
+        sl = [slice(None)] * (nd + 2)
+        sl[1 + ax] = 0
+        assert float(jnp.abs(out[tuple(sl)]).max()) == 0.0
+        sl[1 + ax] = -1
+        assert float(jnp.abs(out[tuple(sl)]).max()) == 0.0
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, batch["rhs"], batch["dx"]) ** 2))(params)
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(g))
+
+
+def test_hpnn_3d_overfits_tiny_batch():
+    """A few Adam steps on one fixed 3-D batch reduce the loss substantially
+    (trainability oracle for the N-D path)."""
+    import optax
+    from poisson_cnn_tpu.data.reverse_nd import ReverseNDConfig, generate_batch_nd
+
+    cfg = HPNNConfig(**_ND_SMALL, output_scaling="soln_max_magnitude")
+    model = HPNN(cfg)
+    batch = generate_batch_nd(
+        jax.random.PRNGKey(3), ReverseNDConfig(batch_size=2), (17, 17, 17)
+    )
+    tgt = batch["soln"] / (jnp.abs(batch["soln"]).max(axis=(1, 2, 3, 4), keepdims=True) + 1e-30)
+    params = model.init(jax.random.PRNGKey(4), batch["rhs"], batch["dx"])
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def loss_fn(p):
+            pred = model.apply(p, batch["rhs"], batch["dx"])
+            return jnp.mean((pred - tgt) ** 2)
+        l, g = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, l
+
+    losses = []
+    for _ in range(40):
+        params, opt, l = step(params, opt)
+        losses.append(float(l))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
