@@ -55,6 +55,8 @@ class TrainingConfig:
     reduce_lr_factor: float = 0.5
     accumulation_steps: int = 1
     precision: str = "float32"
+    weight_decay: float = 0.0  # used by optimizer='adamw'
+    grad_clip_norm: float = 0.0  # 0 disables global-norm clipping
     seed: int = 0
     loss: LossConfig = LossConfig()
 

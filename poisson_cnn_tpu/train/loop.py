@@ -32,10 +32,20 @@ from .config import TrainingConfig
 def make_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
     if cfg.optimizer == "adam":
         base = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate)
+    elif cfg.optimizer == "adamw":
+        # decoupled weight decay anchors Adam's param-norm random walk along
+        # the output-normalization's zero-gradient scale directions — the
+        # root cause of the late-training loss drift (drift study: SGD has a
+        # flat param norm and no drift; every plain-Adam variant walks)
+        base = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay
+        )
     elif cfg.optimizer == "sgd":
         base = optax.inject_hyperparams(optax.sgd)(learning_rate=cfg.learning_rate)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer}")
+    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), base)
     return base
 
 

@@ -370,3 +370,23 @@ def test_make_eval_step_dp_inference():
     step = make_eval_step(lambda p, r, d: model.apply(p, r, d), mesh)
     out = step(params, rhs, dx)
     assert out.shape == rhs.shape and bool(jnp.isfinite(out).all())
+
+
+def test_make_optimizer_adamw_and_clip():
+    """optimizer='adamw' + grad_clip_norm: the drift-study fix is available
+    through the production config (decoupled decay anchors Adam's param-norm
+    walk along output-normalization flat directions)."""
+    from poisson_cnn_tpu.train.config import TrainingConfig
+    from poisson_cnn_tpu.train.loop import make_optimizer, _get_lr, _set_lr
+
+    cfg = TrainingConfig(optimizer="adamw", weight_decay=1e-4,
+                         grad_clip_norm=1.0, learning_rate=1e-3)
+    tx = make_optimizer(cfg)
+    p = {"w": jnp.ones((3,))}
+    s = tx.init(p)
+    up, s2 = tx.update({"w": jnp.full((3,), 100.0)}, s, p)
+    # clipped + adam-normalized + decayed update stays bounded
+    assert float(jnp.abs(up["w"]).max()) < 2e-3
+    assert float(_get_lr(s2)) == pytest.approx(1e-3)
+    _set_lr(s2, 5e-4)
+    assert float(_get_lr(s2)) == pytest.approx(5e-4)
