@@ -141,7 +141,22 @@ def main():
         "with norms trains stably; the unnormalized mid model drifts)",
     )
     p.add_argument(
-        "--opt", default="adam", choices=["adam", "adam-eps5", "sgd", "adamw"],
+        "--wd", type=float, default=1e-4,
+        help="adamw decoupled weight decay. Adam's flat-direction random "
+        "walk grows pnorm^2 by ~d*lr^2/step; adamw's pull is 2*lr*wd*pnorm^2 "
+        "per step, so equilibrium pnorm^2 = d*lr/(2*wd). Holding pnorm at "
+        "init scale (~33) for the ~1e6-param mid model at lr 1e-4 needs "
+        "wd ~ 5e-2; the 1e-4 of run G was ~500x too weak to anchor.",
+    )
+    p.add_argument(
+        "--switch-step", type=int, default=1000,
+        help="for --opt adam-sgd: step at which to switch from Adam to the "
+        "momentum-SGD tail (Adam reaches its best window ~step 600-1000 "
+        "before the flat-direction walk kicks it out)",
+    )
+    p.add_argument(
+        "--opt", default="adam",
+        choices=["adam", "adam-eps5", "sgd", "adamw", "adam-sgd"],
         help="optimizer A/B for the drift study: 'adam-eps5' raises Adam's "
         "eps to 1e-5 (second-moment noise floor against low-precision "
         "gradient noise); 'sgd' = momentum SGD (no adaptive scaling at all); "
@@ -195,7 +210,14 @@ def main():
     elif args.opt == "adam-eps5":
         inner = optax.adam(schedule, eps=1e-5)
     elif args.opt == "adamw":
-        inner = optax.adamw(schedule, weight_decay=1e-4)
+        inner = optax.adamw(schedule, weight_decay=args.wd)
+    elif args.opt == "adam-sgd":
+        # phase 1: Adam finds the basin fast (cosine over the Adam horizon)
+        inner = optax.adam(
+            optax.warmup_cosine_decay_schedule(
+                0.0, args.lr, 200, args.switch_step, args.lr * 0.3
+            )
+        )
     else:
         inner = optax.adam(schedule)
     tx = optax.chain(
@@ -206,7 +228,7 @@ def main():
 
     step_cache = {}
 
-    def make_step(shape):
+    def make_step(shape, tx):
         @jax.jit
         def step(params, opt_state, key):
             def loss_fn(p):
@@ -228,10 +250,28 @@ def main():
     best_window = [float("inf")]
     best_params = [None]
     for it in range(args.steps):
+        if args.opt == "adam-sgd" and it == args.switch_step:
+            # phase 2: momentum-SGD tail. Gradient-proportional updates can't
+            # random-walk the flat output-scale directions the way Adam's
+            # unit-scale updates do (drift A/B: SGD pnorm stays exactly flat),
+            # so the tail holds the basin Adam found instead of drifting out.
+            print(f"[{it}] switching to momentum-SGD tail", flush=True)
+            tx = optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.sgd(
+                    optax.cosine_decay_schedule(
+                        args.lr * 10, args.steps - args.switch_step,
+                        alpha=0.05,
+                    ),
+                    momentum=0.9,
+                ),
+            )
+            opt_state = jax.device_put(tx.init(params), jax.devices()[0])
+            step_cache.clear()
         shape = sample_grid_shape(rng, DATA.grids)
         if shape not in step_cache:
             print(f"[{it}] compiling shape {shape}", flush=True)
-            step_cache[shape] = make_step(shape)
+            step_cache[shape] = make_step(shape, tx)
         key, sub = jax.random.split(key)
         params, opt_state, loss = step_cache[shape](params, opt_state, sub)
         running.append(float(loss))

@@ -3,9 +3,13 @@ reference's use_batchnorm/use_scaling restored) at reference scale: 192-384^2
 variable grids, effective batch 50 via gradient accumulation, bf16 compute.
 
 Training recipe: the demo's proven stable one (unit-peak targets + MSE/MAE)
-with adamw weight decay (drift study: plain Adam's param-norm random walk
-along the output-normalization's flat directions causes the late-training
-drift; decoupled decay anchors it).
+with the two-phase optimizer from the round-2 drift study: Adam (cosine) to
+find the basin fast, then a momentum-SGD tail. Adam's unit-scale updates
+random-walk the output-normalization's flat weight-scale directions and kick
+the deep model out of its optimum (adamw at wd 1e-4 AND 5e-2 both still
+walked); SGD's gradient-proportional updates hold the basin exactly
+(demo A/B `/tmp/drift_adamsgd.log`: loss 0.0045 at switch -> 0.0037 final,
+pnorm frozen, eval 6.5% vs 6.7-9.4% for all Adam-only variants).
 
 Writes checkpoint + eval.json under checkpoints/hpnn_flagship/.
 
@@ -100,7 +104,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--lr", type=float, default=1e-4)
-    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--switch-step", type=int, default=None,
+                   help="step to switch from Adam to the momentum-SGD tail "
+                   "(default: 35%% of --steps; the drift study's Adam basin "
+                   "arrives well before the Adam walk kicks the params out)")
     p.add_argument("--eval-only", default=None)
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_flagship")
     args = p.parse_args()
@@ -121,18 +128,17 @@ def main():
         print(json.dumps(evaluate(model, params)))
         return
 
-    schedule = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, 200, args.steps, args.lr * 0.05
-    )
+    switch_step = args.switch_step or max(1, int(args.steps * 0.35))
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(schedule, weight_decay=args.weight_decay),
+        optax.adam(optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, 200, switch_step, args.lr * 0.3)),
     )
     opt_state = jax.device_put(tx.init(params), jax.devices()[0])
 
     step_cache = {}
 
-    def make_step(shape):
+    def make_step(shape, tx):
         @jax.jit
         def step(params, opt_state, key):
             def micro_loss(p, k):
@@ -168,12 +174,27 @@ def main():
         json.dump({"model": dataclasses.asdict(model_cfg),
                    "microbatch": MICROBATCH, "accum": ACCUM,
                    "steps": args.steps, "lr": args.lr,
-                   "weight_decay": args.weight_decay}, f, indent=2, default=str)
+                   "optimizer": "adam->momentum-sgd two-phase",
+                   "switch_step": switch_step}, f, indent=2, default=str)
+    metrics_log = open(os.path.join(args.out, "metrics.jsonl"), "w")
     for it in range(args.steps):
+        if it == switch_step:
+            # momentum-SGD tail: gradient-proportional updates hold the basin
+            # Adam found (Adam's unit-scale updates random-walk the output
+            # normalization's flat weight-scale directions and drift out)
+            print(f"[{it}] switching to momentum-SGD tail", flush=True)
+            tx = optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.sgd(optax.cosine_decay_schedule(
+                    args.lr * 10, args.steps - switch_step, alpha=0.05),
+                    momentum=0.9),
+            )
+            opt_state = jax.device_put(tx.init(params), jax.devices()[0])
+            step_cache.clear()
         shape = sample_grid_shape(rng, DATA.grids)
         if shape not in step_cache:
             print(f"[{it}] compiling shape {shape}", flush=True)
-            step_cache[shape] = make_step(shape)
+            step_cache[shape] = make_step(shape, tx)
         key, sub = jax.random.split(key)
         params, opt_state, loss = step_cache[shape](params, opt_state, sub)
         running.append(float(loss))
@@ -182,14 +203,20 @@ def main():
             pnorm = float(jnp.sqrt(sum(
                 jnp.sum(x.astype(jnp.float32) ** 2)
                 for x in jax.tree_util.tree_leaves(params))))
+            rate = (it + 1) / (time.time() - t0)
             print(f"step {it+1}: loss={window:.5f} pnorm={pnorm:.2f} "
-                  f"({(it+1)/(time.time()-t0):.2f} steps/s)", flush=True)
+                  f"({rate:.2f} steps/s)", flush=True)
+            metrics_log.write(json.dumps(
+                {"step": it + 1, "loss": window, "pnorm": pnorm,
+                 "steps_per_s": round(rate, 3)}) + "\n")
+            metrics_log.flush()
             if not np.isfinite(running[-1]):
                 raise FloatingPointError("loss diverged")
             if window < best[0]:
                 best[0] = window
                 best[1] = jax.device_get(params)
                 save_checkpoint(args.out, best[1], it + 1)
+    metrics_log.close()
 
     if best[1] is not None and best[0] < float(np.mean(running[-100:])):
         params = jax.device_put(best[1], jax.devices()[0])
