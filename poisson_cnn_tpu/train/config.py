@@ -57,6 +57,11 @@ class TrainingConfig:
     precision: str = "float32"
     weight_decay: float = 0.0  # used by optimizer='adamw'
     grad_clip_norm: float = 0.0  # 0 disables global-norm clipping
+    # optimizer='adam-sgd' (the drift-proof two-phase recipe): fraction of
+    # total epochs after which Adam hands over to a momentum-SGD tail, and
+    # the tail's starting lr as a multiple of learning_rate
+    sgd_tail_at: float = 0.35
+    sgd_tail_lr_mult: float = 10.0
     seed: int = 0
     loss: LossConfig = LossConfig()
 

@@ -29,14 +29,20 @@ from ..parallel import TrainState, replicate_sharding
 from .config import TrainingConfig
 
 
-def make_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
-    if cfg.optimizer == "adam":
+def make_optimizer(cfg: TrainingConfig, phase: str = "main") -> optax.GradientTransformation:
+    """phase='main' builds cfg.optimizer; phase='sgd-tail' builds the
+    momentum-SGD tail of the two-phase 'adam-sgd' recipe (the drift study's
+    fix: Adam's unit-scale updates random-walk weight norms along the output
+    normalization's zero-gradient scale directions — adamw at any weight
+    decay still walks — while SGD's gradient-proportional updates hold the
+    basin Adam found with an exactly flat param norm)."""
+    if phase == "sgd-tail":
+        base = optax.inject_hyperparams(optax.sgd)(
+            learning_rate=cfg.learning_rate * cfg.sgd_tail_lr_mult, momentum=0.9
+        )
+    elif cfg.optimizer in ("adam", "adam-sgd"):
         base = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate)
     elif cfg.optimizer == "adamw":
-        # decoupled weight decay anchors Adam's param-norm random walk along
-        # the output-normalization's zero-gradient scale directions — the
-        # root cause of the late-training loss drift (drift study: SGD has a
-        # flat param norm and no drift; every plain-Adam variant walks)
         base = optax.inject_hyperparams(optax.adamw)(
             learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay
         )
@@ -128,10 +134,27 @@ class Trainer:
     def current_learning_rate(self) -> float:
         return float(_get_lr(self.state.opt_state))
 
+    def _switch_to_sgd_tail(self):
+        """Swap the optimizer to the momentum-SGD tail, keeping params and the
+        replication sharding; compiled steps capture tx so the cache resets."""
+        self.tx = make_optimizer(self.cfg, phase="sgd-tail")
+        self._steps = {}
+        self.state = self.state.replace(opt_state=self.tx.init(self.state.params))
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, replicate_sharding(self.mesh))
+
     def run(self):
         cfg = self.cfg
         plateau = 0
+        switch_epoch = (
+            max(1, int(cfg.n_epochs * cfg.sgd_tail_at))
+            if cfg.optimizer == "adam-sgd" and cfg.n_epochs > 1
+            else None
+        )
         for epoch in range(cfg.n_epochs):
+            if switch_epoch is not None and epoch == switch_epoch:
+                print(f"epoch {epoch}: switching to momentum-SGD tail", flush=True)
+                self._switch_to_sgd_tail()
             t0 = time.time()
             epoch_losses = []
             for it in range(cfg.steps_per_epoch):

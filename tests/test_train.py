@@ -390,3 +390,40 @@ def test_make_optimizer_adamw_and_clip():
     assert float(_get_lr(s2)) == pytest.approx(1e-3)
     _set_lr(s2, 5e-4)
     assert float(_get_lr(s2)) == pytest.approx(5e-4)
+
+
+def test_trainer_adam_sgd_two_phase_switch():
+    """optimizer='adam-sgd': the Trainer swaps to the momentum-SGD tail at
+    sgd_tail_at * n_epochs (the drift study's fix — Adam finds the basin,
+    gradient-proportional SGD holds it), re-initializing opt_state and the
+    compiled-step cache while keeping params."""
+    import optax
+    from poisson_cnn_tpu.train.config import TrainingConfig
+    from poisson_cnn_tpu.train.loop import Trainer
+
+    cfg = TrainingConfig(n_epochs=4, steps_per_epoch=2, optimizer="adam-sgd",
+                         learning_rate=1e-3, sgd_tail_at=0.5,
+                         sgd_tail_lr_mult=10.0, grad_clip_norm=1.0)
+    params = {"w": jnp.ones(3)}
+    seen_tx = []
+
+    def make_step(shape, tx):
+        seen_tx.append(tx)
+
+        def step(state, key):
+            grads = {"w": jnp.full(3, 0.1)}
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            return state.replace(
+                step=state.step + 1,
+                params=optax.apply_updates(state.params, updates),
+                opt_state=opt_state,
+            ), {"loss": jnp.asarray(1.0)}
+
+        return step
+
+    tr = Trainer(params, lambda: (8, 8), make_step, cfg)
+    tr.run()
+    # one step fn compiled per phase (same shape, tx swap clears the cache)
+    assert len(seen_tx) == 2 and seen_tx[0] is not seen_tx[1]
+    # SGD-tail lr = learning_rate * sgd_tail_lr_mult
+    assert tr.current_learning_rate() == pytest.approx(1e-2)
