@@ -51,7 +51,11 @@ def run(model_builder, step_factory, init_example, argv=None):
     rng = np.random.default_rng(train_cfg.seed)
     grids = data_cfg.grids
 
-    init_shape = sample_grid_shape(rng, grids)
+    # init at the LARGEST shape in the sampling range: HPNN's scale-gated
+    # branch pyramid only creates params for branches with min(shape) >= 2*ds,
+    # so a small random init shape would leave the large-scale branches
+    # without params and crash the first large-grid step
+    init_shape = tuple(hi for (_, hi) in grids.shape_range)
     params = init_example(model, data_cfg, init_shape, jax.random.PRNGKey(train_cfg.seed))
     if args.continue_from_checkpoint:
         params, _ = restore_checkpoint(args.continue_from_checkpoint, params)

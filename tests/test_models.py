@@ -466,3 +466,20 @@ def test_hpnn_3d_overfits_tiny_batch():
         params, opt, l = step(params, opt)
         losses.append(float(l))
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+
+def test_hpnn_init_at_max_shape_covers_all_branch_params():
+    """HPNN's scale-gated branch pyramid (min(shape) >= 2*ds) means params
+    must be created at the LARGEST training shape: init at the range max must
+    serve apply at both smaller shapes (extra params unused) and the max
+    itself. Guards the train CLI's init-at-range-max policy (train/cli.py)."""
+    model = HPNN(SMALL_HPNN)
+    # max shape activates the ds=8 resize branch; small shape gates it off
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 17, 17, 1)),
+                        jnp.full((1, 1), 0.1))
+    names = params["params"].keys()
+    assert "BottleneckBlock_2" in names  # the ds=8 branch exists
+    for shape in ((9, 9), (17, 17), (9, 17)):
+        out = model.apply(params, jnp.ones((2,) + shape + (1,)),
+                          jnp.full((2, 1), 0.1))
+        assert out.shape == (2,) + shape + (1,)
