@@ -1,0 +1,209 @@
+"""Large-grid physics-informed training demo: HPNN-Fast on 385-513^2 grids
+with the FD-Laplacian physics loss in the bundle (BASELINE.md training target:
+"bf16 mixed precision, 384^2-512^2 grids with FD-Laplacian physics loss";
+reference recipe `experiments/hpnn_neumann_piloss.json`: MAE + 6e-4
+physics-informed weight with the domain-size-normalized stencil).
+
+Data uses the reference's piloss normalization pair (rhs unit peak +
+max_domain_size_squared on the solution) so the FD residual is consistent
+between the scaled rhs and scaled solution (`losses.physics_informed_loss`
+with inputs_have_max_domain_size_squared_normalization=True).
+
+Writes checkpoint + metrics.jsonl + eval.json under
+checkpoints/hpnn_fast_largegrid_piloss/.
+
+Usage: python scripts/train_largegrid_piloss_demo.py [--steps N]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from poisson_cnn_tpu import losses
+from poisson_cnn_tpu.data import (
+    GridSamplingConfig,
+    Normalizations,
+    ReverseConfig,
+    generate_batch,
+    sample_grid_shape,
+)
+from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, HPNNFastConfig
+from poisson_cnn_tpu.train.loop import save_checkpoint, restore_checkpoint
+
+MODEL = HPNNFastConfig(bc_type="neumann", output_scaling=None)
+
+DATA = ReverseConfig(
+    batch_size=8,
+    # snap=128 -> lattice sizes {385, 513}: 4 compiled steps
+    grids=GridSamplingConfig(((384, 512), (384, 512)), (2e-3, 8e-3), snap=128),
+    fourier_mode_range=(1, 10),
+    bc="neumann",
+    include_taylor=False,
+    normalizations=Normalizations(
+        rhs_max_magnitude=1.0, max_domain_size_squared=True
+    ),
+)
+
+# the reference piloss bundle (`hpnn_neumann_piloss.json` loss_parameters):
+# MAE 1.0 + integral 0.4 + physics 6e-4 (domain-size-normalized stencil),
+# per-sample supervised losses scaled by 1/peak(|y_true|)^p
+LOSS = losses.LossConfig(
+    mse_weight=0.0,
+    mae_weight=1.0,
+    integral_weight=0.4,
+    n_quadpts=47,
+    physics_informed_weight=6e-4,
+    physics_informed_domain_size_norm=True,
+    scale_sample_loss_by_target_peak_magnitude=True,
+    global_batch_size=DATA.batch_size,
+)
+# physics term is not peak-scaled, so an untrained O(1)-output net starts with
+# a ~1e4 physics loss (measured); ramp it in after the MAE pulls predictions
+# onto the target scale
+LOSS_WARMUP = dataclasses.replace(LOSS, physics_informed_weight=0.0)
+PI_WARMUP_STEPS = 300
+
+
+def evaluate(model, params, n_batches=8, seed=40_000):
+    data_cfg = dataclasses.replace(DATA, batch_size=8)
+    apply_fn = jax.jit(
+        lambda rhs, dx: model.apply(params, rhs, dx), static_argnums=()
+    )
+    errs = []
+    for i in range(n_batches):
+        shape = (385, 385) if i % 2 == 0 else (513, 385)
+        batch = generate_batch(jax.random.PRNGKey(seed + i), data_cfg, shape)
+        pred = apply_fn(batch["rhs"], batch["dx"])
+        d = (pred - batch["soln"]).reshape(pred.shape[0], -1)
+        s = batch["soln"].reshape(pred.shape[0], -1)
+        errs.append(np.asarray(jnp.linalg.norm(d, axis=1) / jnp.linalg.norm(s, axis=1)))
+    e = np.concatenate(errs)
+    return {
+        "rel_l2_mean": float(e.mean()),
+        "rel_l2_median": float(np.median(e)),
+        "rel_l2_p90": float(np.percentile(e, 90)),
+        "n": int(e.size),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--eval-only", default=None)
+    p.add_argument("--out", default="/root/repo/checkpoints/hpnn_fast_largegrid_piloss")
+    args = p.parse_args()
+
+    model = HPNNFast(MODEL)
+    rng = np.random.default_rng(0)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.ones((1, 512, 512, 1)), jnp.full((1, 1), 4e-3)
+        )
+    params = jax.device_put(params, jax.devices()[0])
+
+    if args.eval_only:
+        params, _ = restore_checkpoint(args.eval_only, params)
+        print(json.dumps(evaluate(model, params)))
+        return
+
+    # two-phase adam->sgd (drift study recipe)
+    switch_step = int(args.steps * 0.5)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, 100, switch_step, args.lr * 0.3)),
+    )
+    opt_state = jax.device_put(tx.init(params), jax.devices()[0])
+
+    step_cache = {}
+
+    def make_step(shape, tx, loss_cfg):
+        @jax.jit
+        def step(params, opt_state, key):
+            def loss_fn(p):
+                batch = generate_batch(key, DATA, shape)
+                pred = model.apply(p, batch["rhs"], batch["dx"])
+                return losses.loss_wrapper(
+                    loss_cfg, batch["soln"], pred, batch["rhs"], batch["dx"]
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        return step
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    running = []
+    os.makedirs(args.out, exist_ok=True)
+    metrics_log = open(os.path.join(args.out, "metrics.jsonl"), "w")
+    for it in range(args.steps):
+        if it == PI_WARMUP_STEPS:
+            print(f"[{it}] enabling physics-informed term", flush=True)
+            step_cache.clear()
+        if it == switch_step:
+            print(f"[{it}] switching to momentum-SGD tail", flush=True)
+            tx = optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.sgd(optax.cosine_decay_schedule(
+                    args.lr * 10, args.steps - switch_step, alpha=0.05),
+                    momentum=0.9),
+            )
+            opt_state = jax.device_put(tx.init(params), jax.devices()[0])
+            step_cache.clear()
+        shape = sample_grid_shape(rng, DATA.grids)
+        if shape not in step_cache:
+            print(f"[{it}] compiling shape {shape}", flush=True)
+            loss_cfg = LOSS_WARMUP if it < PI_WARMUP_STEPS else LOSS
+            step_cache[shape] = make_step(shape, tx, loss_cfg)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step_cache[shape](params, opt_state, sub)
+        running.append(float(loss))
+        if (it + 1) % 100 == 0:
+            window = float(np.mean(running[-100:]))
+            rate = (it + 1) / (time.time() - t0)
+            print(f"step {it+1}: loss={window:.5f} ({rate:.2f} steps/s)", flush=True)
+            metrics_log.write(json.dumps(
+                {"step": it + 1, "loss": window, "steps_per_s": round(rate, 3)}) + "\n")
+            metrics_log.flush()
+            if not np.isfinite(running[-1]):
+                raise FloatingPointError("loss diverged")
+    metrics_log.close()
+
+    final = save_checkpoint(args.out, params, args.steps)
+    metrics = evaluate(model, params)
+    metrics["final_train_loss"] = float(np.mean(running[-100:]))
+    metrics["checkpoint"] = final
+    metrics["recipe"] = {
+        "grids": "385-513 (snap 128)", "precision": str(MODEL.dtype),
+        "loss": "MAE 1.0 + physics-informed 6e-4 (domain-size-normalized)",
+        "optimizer": "two-phase adam->momentum-sgd",
+    }
+    with open(os.path.join(args.out, "eval.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()
