@@ -52,11 +52,19 @@ from poisson_cnn_tpu.train.config import load_experiment
 from poisson_cnn_tpu.train.loop import save_checkpoint, restore_checkpoint
 
 MICROBATCH = 10
-ACCUM = 5  # effective batch 50 (reference `experiments/hpnn.json` scale)
+# effective batch 20: the reference's batch-50 x 4000-step budget costs ~8 h
+# on one chip (measured 4.8 s/step at 257^2 with accum 5); 2500 steps at
+# accum 2 sees a comparable sample count with 2x the parameter updates in
+# under half the wall clock
+ACCUM = 2
 
 DATA = ReverseConfig(
     batch_size=MICROBATCH,
-    grids=GridSamplingConfig(((192, 384), (192, 384)), (5e-3, 5e-2), snap=64),
+    # snap=128 -> lattice sizes {257, 385}: 4 distinct compiled steps. The
+    # remote-backend compile of the flagship fwd+bwd accum graph is ~20 min
+    # per shape, so the 16 buckets of snap=64 would spend hours compiling;
+    # the CNN generalizes across sizes (eval is on unseen variable grids).
+    grids=GridSamplingConfig(((192, 384), (192, 384)), (5e-3, 5e-2), snap=128),
     fourier_mode_range=(1, 8),
     taylor_degree_range=(2, 6),
     bc="dirichlet",
@@ -93,7 +101,7 @@ def evaluate(model, params):
     out["train_scale"] = evaluate_hpnn(
         apply_fn,
         dataclasses.replace(DATA, batch_size=8),
-        grid_shapes=((193, 193), (257, 193)),
+        grid_shapes=((257, 257), (321, 257)),
         n_batches=4,
         seed=20_000,
     )
@@ -116,9 +124,12 @@ def main():
     rng = np.random.default_rng(0)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
+        # init shape must satisfy min(shape) >= 2 * max(downsampling factor)
+        # (= 256 for the flagship's ds-128 branch) or the branch-gating skips
+        # param creation for the largest-scale branches
         params = model.init(
             jax.random.PRNGKey(0),
-            jnp.ones((1, 192, 192, 1)),
+            jnp.ones((1, 257, 257, 1)),
             jnp.full((1, 1), 0.01),
         )
     params = jax.device_put(params, jax.devices()[0])
