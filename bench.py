@@ -67,6 +67,102 @@ def _graph_flops(fn, *args) -> float:
         return 0.0
 
 
+def bench_train(args):
+    """Train samples/sec/chip (BASELINE.md training metric): time N full
+    generating train steps (on-device data synthesis + forward + backward +
+    adam update) on the HPNN-Fast trainer config at 256x256. Each step's
+    params feed the next, so no step can be elided; the final device_get
+    forces completion of the whole chain."""
+    import optax
+
+    from poisson_cnn_tpu import losses
+    from poisson_cnn_tpu.data import (
+        GridSamplingConfig,
+        Normalizations,
+        ReverseConfig,
+        generate_batch,
+    )
+    from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, load_fast_config
+
+    n, batch = 256, args.batch
+    data_cfg = ReverseConfig(
+        batch_size=batch,
+        grids=GridSamplingConfig(((n, n), (n, n)), (5e-3, 5e-2)),
+        normalizations=Normalizations(rhs_max_magnitude=1.0, soln_max_magnitude=True),
+    )
+    loss_cfg = losses.LossConfig(
+        mse_weight=1.0, mae_weight=0.2, integral_weight=0.0, global_batch_size=batch
+    )
+    model = HPNNFast(load_fast_config())
+    dev = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1, n, n, 1), dtype=jnp.float32),
+            jnp.full((1, 1), 2.0 / (n - 1), dtype=jnp.float32),
+        )
+    params = jax.device_put(params, dev)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-4))
+    opt_state = jax.device_put(tx.init(params), dev)
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        def loss_fn(p):
+            b = generate_batch(key, data_cfg, (n, n))
+            pred = model.apply(p, b["rhs"], b["dx"])
+            return losses.loss_wrapper(loss_cfg, b["soln"], pred, b["rhs"], b["dx"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    flops_per_step = _graph_flops(
+        lambda p, o, k: train_step(p, o, k)[2], params, opt_state, jax.random.PRNGKey(0)
+    )
+
+    key = jax.random.PRNGKey(1)
+    # compile + warmup
+    params2, opt_state2, loss = train_step(params, opt_state, key)
+    jax.device_get(loss)
+    best_dt = float("inf")
+    for _ in range(args.repeats):
+        p, o = params2, opt_state2
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            key, sub = jax.random.split(key)
+            p, o, loss = train_step(p, o, sub)
+        jax.device_get((loss, jax.tree_util.tree_leaves(p)[0]))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+
+    samples_per_sec = batch * args.iters / best_dt
+    implied_flops = flops_per_step * args.iters / best_dt
+    peak = _peak_flops(dev)
+    if flops_per_step and implied_flops > peak:
+        raise SystemExit(
+            f"BENCH INVALID: implied {implied_flops/1e12:.1f} TFLOP/s exceeds "
+            f"{dev.device_kind} peak {peak/1e12:.0f} TFLOP/s."
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "HPNN-fast 256x256 train samples/sec/chip (generating step)",
+                "value": round(samples_per_sec, 2),
+                "unit": "samples/sec",
+                "vs_baseline": None,
+                "detail": {
+                    "batch": batch,
+                    "steps_timed": args.iters,
+                    "gflop_per_step": round(flops_per_step / 1e9, 2),
+                    "implied_tflops": round(implied_flops / 1e12, 2),
+                    "mfu_vs_bf16_peak": round(implied_flops / peak, 4),
+                    "device_kind": str(getattr(dev, "device_kind", "unknown")),
+                },
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -79,7 +175,15 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=64, help="chained scan length")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--train", action="store_true",
+        help="measure train samples/sec/chip instead (full generating train "
+        "step: on-device data synthesis + fwd + bwd + adam update; steps are "
+        "inherently dependency-chained through the params)",
+    )
     args = ap.parse_args()
+    if args.train:
+        return bench_train(args)
 
     from poisson_cnn_tpu.models import HPNN, HPNNConfig
     from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, load_fast_config
