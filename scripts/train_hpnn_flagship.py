@@ -84,6 +84,41 @@ EVAL_DEMO = dataclasses.replace(
 )
 
 
+def two_phase_adam_sgd(lr, switch_step, total_steps):
+    """Single-executable two-phase optimizer: Adam (warmup cosine) before
+    `switch_step`, momentum-SGD tail after, selected by a traced step counter
+    with lax.cond. One compiled step per grid shape covers both phases —
+    halving the ~20-min-per-executable remote compile bill vs swapping
+    optimizers (which changes the HLO and forces a recompile per shape)."""
+    adam = optax.adam(
+        optax.warmup_cosine_decay_schedule(0.0, lr, 200, switch_step, lr * 0.3)
+    )
+    sgd = optax.sgd(
+        optax.cosine_decay_schedule(lr * 10, total_steps - switch_step, alpha=0.05),
+        momentum=0.9,
+    )
+
+    def init(params):
+        return {
+            "t": jnp.zeros((), jnp.int32),
+            "adam": adam.init(params),
+            "sgd": sgd.init(params),  # zeros until the tail's first step
+        }
+
+    def update(grads, state, params=None):
+        def do_adam(_):
+            up, s = adam.update(grads, state["adam"], params)
+            return up, {"t": state["t"] + 1, "adam": s, "sgd": state["sgd"]}
+
+        def do_sgd(_):
+            up, s = sgd.update(grads, state["sgd"], params)
+            return up, {"t": state["t"] + 1, "adam": state["adam"], "sgd": s}
+
+        return jax.lax.cond(state["t"] < switch_step, do_adam, do_sgd, None)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_model():
     model_cfg, _, _ = load_experiment("/root/repo/experiments/hpnn.json")
     model_cfg = dataclasses.replace(
@@ -142,8 +177,7 @@ def main():
     switch_step = args.switch_step or max(1, int(args.steps * 0.35))
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adam(optax.warmup_cosine_decay_schedule(
-            0.0, args.lr, 200, switch_step, args.lr * 0.3)),
+        two_phase_adam_sgd(args.lr, switch_step, args.steps),
     )
     opt_state = jax.device_put(tx.init(params), jax.devices()[0])
 
@@ -190,18 +224,9 @@ def main():
     metrics_log = open(os.path.join(args.out, "metrics.jsonl"), "w")
     for it in range(args.steps):
         if it == switch_step:
-            # momentum-SGD tail: gradient-proportional updates hold the basin
-            # Adam found (Adam's unit-scale updates random-walk the output
-            # normalization's flat weight-scale directions and drift out)
-            print(f"[{it}] switching to momentum-SGD tail", flush=True)
-            tx = optax.chain(
-                optax.clip_by_global_norm(1.0),
-                optax.sgd(optax.cosine_decay_schedule(
-                    args.lr * 10, args.steps - switch_step, alpha=0.05),
-                    momentum=0.9),
-            )
-            opt_state = jax.device_put(tx.init(params), jax.devices()[0])
-            step_cache.clear()
+            # the two-phase optimizer flips to its momentum-SGD tail branch
+            # at this step (traced counter — no recompile, no state swap)
+            print(f"[{it}] momentum-SGD tail takes over", flush=True)
         shape = sample_grid_shape(rng, DATA.grids)
         if shape not in step_cache:
             print(f"[{it}] compiling shape {shape}", flush=True)
