@@ -90,8 +90,9 @@ def two_phase_adam_sgd(lr, switch_step, total_steps):
     with lax.cond. One compiled step per grid shape covers both phases —
     halving the ~20-min-per-executable remote compile bill vs swapping
     optimizers (which changes the HLO and forces a recompile per shape)."""
+    warmup = min(200, max(1, switch_step // 5))
     adam = optax.adam(
-        optax.warmup_cosine_decay_schedule(0.0, lr, 200, switch_step, lr * 0.3)
+        optax.warmup_cosine_decay_schedule(0.0, lr, warmup, switch_step, lr * 0.3)
     )
     sgd = optax.sgd(
         optax.cosine_decay_schedule(lr * 10, total_steps - switch_step, alpha=0.05),
