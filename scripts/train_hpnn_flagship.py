@@ -24,6 +24,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 import jax
@@ -51,12 +52,12 @@ from poisson_cnn_tpu.models import HPNN
 from poisson_cnn_tpu.train.config import load_experiment
 from poisson_cnn_tpu.train.loop import save_checkpoint, restore_checkpoint
 
-MICROBATCH = 10
-# effective batch 20: the reference's batch-50 x 4000-step budget costs ~8 h
-# on one chip (measured 4.8 s/step at 257^2 with accum 5); 2500 steps at
-# accum 2 sees a comparable sample count with 2x the parameter updates in
-# under half the wall clock
-ACCUM = 2
+# Single microbatch, no accumulation scan, no remat: the remote compile
+# helper OOMs (SIGKILL) on the scan-wrapped / rematerialized flagship
+# backward graph — both bloat compile-time memory. Batch 8 without remat
+# fits HBM at 385^2; more steps substitute for the reference's batch 50.
+MICROBATCH = 8
+ACCUM = 1
 
 DATA = ReverseConfig(
     batch_size=MICROBATCH,
@@ -120,12 +121,21 @@ def two_phase_adam_sgd(lr, switch_step, total_steps):
     return optax.GradientTransformation(init, update)
 
 
-def build_model():
+def build_model(which: str = "flagship"):
+    if which == "big":
+        # fallback when the remote AOT compile helper cannot fit the full
+        # hpnn.json backward graph in its memory cap (SIGKILL): the round-1
+        # big architecture (same design, fewer branches/filters) trained at
+        # the same reference 192-384^2 grids
+        import train_hpnn_demo as hdemo
+
+        model_cfg = dataclasses.replace(hdemo.BIG_MODEL, dtype="bfloat16")
+        return HPNN(model_cfg), model_cfg
     model_cfg, _, _ = load_experiment("/root/repo/experiments/hpnn.json")
     model_cfg = dataclasses.replace(
         model_cfg,
         dtype="bfloat16",
-        remat_branches=True,
+        remat_branches=False,
         output_scaling="soln_max_magnitude",
     )
     return HPNN(model_cfg), model_cfg
@@ -153,10 +163,11 @@ def main():
                    "(default: 35%% of --steps; the drift study's Adam basin "
                    "arrives well before the Adam walk kicks the params out)")
     p.add_argument("--eval-only", default=None)
+    p.add_argument("--model", default="flagship", choices=["flagship", "big"])
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_flagship")
     args = p.parse_args()
 
-    model, model_cfg = build_model()
+    model, model_cfg = build_model(args.model)
     rng = np.random.default_rng(0)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -194,18 +205,23 @@ def main():
                     LOSS, batch["soln"], pred, batch["rhs"], batch["dx"]
                 )
 
-            keys = jax.random.split(key, ACCUM)
+            if ACCUM == 1:
+                # single-microbatch fast path: no scan — the remote compile
+                # helper OOMs on the scan-wrapped accumulation graph
+                loss_sum, grads = jax.value_and_grad(micro_loss)(params, key)
+            else:
+                keys = jax.random.split(key, ACCUM)
 
-            def body(carry, k):
-                loss, grads = jax.value_and_grad(micro_loss)(params, k)
-                acc_loss, acc_grads = carry
-                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-                return (acc_loss + loss, acc_grads), None
+                def body(carry, k):
+                    loss, grads = jax.value_and_grad(micro_loss)(params, k)
+                    acc_loss, acc_grads = carry
+                    acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                    return (acc_loss + loss, acc_grads), None
 
-            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
-            (loss_sum, grads), _ = jax.lax.scan(body, (0.0, zero), keys)
+                zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (loss_sum, grads), _ = jax.lax.scan(body, (0.0, zero), keys)
             # loss_wrapper already normalizes by global_batch_size, so the
-            # accumulated sum over ACCUM microbatches IS the global-batch loss
+            # accumulated sum over the microbatches IS the global-batch loss
             updates, opt_state2 = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state2, loss_sum
 

@@ -52,8 +52,10 @@ MODEL = HPNNFastConfig(bc_type="neumann", output_scaling=None)
 
 DATA = ReverseConfig(
     batch_size=8,
-    # snap=128 -> lattice sizes {385, 513}: 4 compiled steps
-    grids=GridSamplingConfig(((384, 512), (384, 512)), (2e-3, 8e-3), snap=128),
+    # snap=128 -> lattice sizes {385, 513}: 4 compiled steps. NOTE the upper
+    # bound must be >= 513 or the snap clamp (hi = ((n_max-1)//snap)*snap+1)
+    # collapses the lattice to {385} only
+    grids=GridSamplingConfig(((384, 513), (384, 513)), (2e-3, 8e-3), snap=128),
     fourier_mode_range=(1, 10),
     bc="neumann",
     include_taylor=False,
