@@ -4,10 +4,10 @@ with the FD-Laplacian physics loss in the bundle (BASELINE.md training target:
 reference recipe `experiments/hpnn_neumann_piloss.json`: MAE + 6e-4
 physics-informed weight with the domain-size-normalized stencil).
 
-Data uses the reference's piloss normalization pair (rhs unit peak +
-max_domain_size_squared on the solution) so the FD residual is consistent
-between the scaled rhs and scaled solution (`losses.physics_informed_loss`
-with inputs_have_max_domain_size_squared_normalization=True).
+Data uses unit-peak rhs with the consistently scaled solution so
+Lap(soln) = rhs holds directly for the plain 1/dx^2 FD operator. (The
+reference's /L_max^2 solution shrink plus bf16 activations both trap the
+net at zero output at this scale — see the inline notes.)
 
 Writes checkpoint + metrics.jsonl + eval.json under
 checkpoints/hpnn_fast_largegrid_piloss/.
@@ -48,7 +48,14 @@ from poisson_cnn_tpu.data import (
 from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, HPNNFastConfig
 from poisson_cnn_tpu.train.loop import save_checkpoint, restore_checkpoint
 
-MODEL = HPNNFastConfig(bc_type="neumann", output_scaling=None)
+# fp32 activations: bf16 prediction quantization noise (~4e-3 relative) through
+# the 1/dx^2 ~ 2.5e5 discrete Laplacian gives a physics residual of O(10^3) for
+# ANY nonzero prediction, making exact-zero output a trap (observed: two bf16
+# runs collapsed to rel-L2 ~ 1.0). The physics-informed phase needs fp32; bf16
+# mixed-precision training itself is demonstrated by the refgrid flagship run.
+MODEL = HPNNFastConfig(
+    bc_type="neumann", output_scaling="soln_max_magnitude", dtype=None
+)
 
 DATA = ReverseConfig(
     batch_size=8,
@@ -59,9 +66,14 @@ DATA = ReverseConfig(
     fourier_mode_range=(1, 10),
     bc="neumann",
     include_taylor=False,
-    normalizations=Normalizations(
-        rhs_max_magnitude=1.0, max_domain_size_squared=True
-    ),
+    # unit-peak rhs with the CONSISTENTLY scaled solution (no /L_max^2): the
+    # reference's piloss normalization pair shrinks targets to ~1e-3 at these
+    # domain sizes and the 512^2 physics term then traps the net at the
+    # zero-output local optimum (two runs collapsed to rel-L2 ~ 1.0). Without
+    # the L^2 shrink targets are O(0.05-1.5) — learnable with dx-FiLM — and
+    # Lap(soln) = rhs holds directly, so the physics loss uses the plain
+    # 1/dx^2 operator.
+    normalizations=Normalizations(rhs_max_magnitude=1.0),
 )
 
 # the reference piloss bundle (`hpnn_neumann_piloss.json` loss_parameters):
@@ -78,11 +90,14 @@ LOSS = losses.LossConfig(
     scale_sample_loss_by_target_peak_magnitude=True,
     global_batch_size=DATA.batch_size,
 )
-PI_WEIGHT = 6e-4
-# physics term is not peak-scaled, so an untrained O(1)-output net starts with
-# a ~1e4 physics loss (measured); ramp it in after the MAE pulls predictions
-# onto the target scale
-PI_WARMUP_STEPS = 300
+# The reference's 6e-4 weight is calibrated for its 192-384 fp32 regime; at
+# 385-513 the 1/dx^2 curvature amplification puts the residual of even a
+# well-fit prediction at O(10^4) (measured: 6e-4 * pi ~ 40x the MAE at a 16%
+# fit), and training collapses to the exactly-representable zero output.
+# Scale the weight so the physics term enters as the regularizer it is meant
+# to be (~0.1x the supervised loss at the warmup-end fit).
+PI_WEIGHT = 2e-6
+PI_WARMUP_STEPS = 600
 
 
 def evaluate(model, params, n_batches=8, seed=40_000):
@@ -94,9 +109,15 @@ def evaluate(model, params, n_batches=8, seed=40_000):
     for i in range(n_batches):
         shape = (385, 385) if i % 2 == 0 else (513, 385)
         batch = generate_batch(jax.random.PRNGKey(seed + i), data_cfg, shape)
-        pred = apply_fn(batch["rhs"], batch["dx"])
-        d = (pred - batch["soln"]).reshape(pred.shape[0], -1)
-        s = batch["soln"].reshape(pred.shape[0], -1)
+        # same pair rescaling as training (rel-L2 is invariant to the common
+        # per-sample factor, but the model's input convention must match)
+        speak = jnp.max(
+            jnp.abs(batch["soln"]).reshape(batch["soln"].shape[0], -1), axis=1
+        ).reshape(-1, 1, 1, 1) + 1e-30
+        soln = batch["soln"] / speak
+        pred = apply_fn(batch["rhs"] / speak, batch["dx"])
+        d = (pred - soln).reshape(pred.shape[0], -1)
+        s = soln.reshape(pred.shape[0], -1)
         errs.append(np.asarray(jnp.linalg.norm(d, axis=1) / jnp.linalg.norm(s, axis=1)))
     e = np.concatenate(errs)
     return {
@@ -129,14 +150,15 @@ def main():
         print(json.dumps(evaluate(model, params)))
         return
 
-    # two-phase adam->sgd (drift study recipe), fused into one executable per
-    # shape via the traced-counter optimizer from the flagship script
-    from train_hpnn_flagship import two_phase_adam_sgd
-
-    switch_step = int(args.steps * 0.5)
+    # plain Adam, full-horizon cosine: HPNN-Fast is immune to the deep
+    # HPNN's flat-direction drift (12k-step plain-Adam runs are stable), and
+    # the physics term makes the loss stiff — a momentum-SGD tail at 10x lr
+    # diverged on it (first run: loss 2 -> 250 after the switch, model
+    # collapsed to zero output). Adam's preconditioning handles the stiffness.
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
-        two_phase_adam_sgd(args.lr, switch_step, args.steps),
+        optax.adam(optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, 100, args.steps, args.lr * 0.05)),
     )
     opt_state = jax.device_put(tx.init(params), jax.devices()[0])
 
@@ -147,46 +169,64 @@ def main():
         def step(params, opt_state, key, pi_weight):
             def loss_fn(p):
                 batch = generate_batch(key, DATA, shape)
-                pred = model.apply(p, batch["rhs"], batch["dx"])
-                base = losses.loss_wrapper(
-                    LOSS, batch["soln"], pred, batch["rhs"], batch["dx"]
-                )
+                # rescale the PAIR by 1/peak(|soln|): unit-peak targets (the
+                # demo recipe's proven-learnable form) while keeping
+                # Lap(soln) = rhs exactly consistent for the physics term
+                speak = jnp.max(
+                    jnp.abs(batch["soln"]).reshape(batch["soln"].shape[0], -1),
+                    axis=1,
+                ).reshape(-1, 1, 1, 1) + 1e-30
+                soln = batch["soln"] / speak
+                rhs = batch["rhs"] / speak
+                pred = model.apply(p, rhs, batch["dx"])
+                base = losses.loss_wrapper(LOSS, soln, pred, rhs, batch["dx"])
+                # normalize=True divides the squared residual by peak(rhs)^2
+                # per sample, so the pair rescaling doesn't re-inflate the
+                # physics term for small-amplitude-solution samples
                 pi = losses.physics_informed_loss(
-                    batch["rhs"], pred.astype(jnp.float32), batch["dx"],
-                    inputs_have_max_domain_size_squared_normalization=True,
+                    rhs, pred.astype(jnp.float32), batch["dx"], normalize=True,
                 )
-                return base + pi_weight * pi
+                return base + pi_weight * pi, (base, pi)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (loss, (base, pi)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state2 = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state2, loss
+            return optax.apply_updates(params, updates), opt_state2, loss, base, pi
 
         return step
 
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     running = []
+    pi_hist = []
+    base_hist = []
     os.makedirs(args.out, exist_ok=True)
     metrics_log = open(os.path.join(args.out, "metrics.jsonl"), "w")
     for it in range(args.steps):
         if it == PI_WARMUP_STEPS:
             print(f"[{it}] enabling physics-informed term", flush=True)
-        if it == switch_step:
-            print(f"[{it}] momentum-SGD tail takes over", flush=True)
         shape = sample_grid_shape(rng, DATA.grids)
         if shape not in step_cache:
             print(f"[{it}] compiling shape {shape}", flush=True)
             step_cache[shape] = make_step(shape)
         key, sub = jax.random.split(key)
         pi_w = jnp.asarray(PI_WEIGHT if it >= PI_WARMUP_STEPS else 0.0, jnp.float32)
-        params, opt_state, loss = step_cache[shape](params, opt_state, sub, pi_w)
+        params, opt_state, loss, base, pi = step_cache[shape](
+            params, opt_state, sub, pi_w
+        )
         running.append(float(loss))
+        pi_hist.append(float(pi))
+        base_hist.append(float(base))
         if (it + 1) % 100 == 0:
             window = float(np.mean(running[-100:]))
             rate = (it + 1) / (time.time() - t0)
-            print(f"step {it+1}: loss={window:.5f} ({rate:.2f} steps/s)", flush=True)
+            pi_window = float(np.mean(pi_hist[-100:]))
+            base_window = float(np.mean(base_hist[-100:]))
+            print(f"step {it+1}: loss={window:.5f} supervised={base_window:.5f} "
+                  f"pi_residual={pi_window:.1f} ({rate:.2f} steps/s)", flush=True)
             metrics_log.write(json.dumps(
-                {"step": it + 1, "loss": window, "steps_per_s": round(rate, 3)}) + "\n")
+                {"step": it + 1, "loss": window, "supervised": base_window,
+                 "pi_residual_mse": pi_window,
+                 "steps_per_s": round(rate, 3)}) + "\n")
             metrics_log.flush()
             if not np.isfinite(running[-1]):
                 raise FloatingPointError("loss diverged")
@@ -198,8 +238,8 @@ def main():
     metrics["checkpoint"] = final
     metrics["recipe"] = {
         "grids": "385-513 (snap 128)", "precision": str(MODEL.dtype),
-        "loss": "MAE 1.0 + physics-informed 6e-4 (domain-size-normalized)",
-        "optimizer": "two-phase adam->momentum-sgd",
+        "loss": "MAE 1.0 + integral 0.4 + physics 2e-6 (weight rescaled to 385-513 grid stiffness)",
+        "optimizer": "adam warmup-cosine (HPNN-Fast is drift-immune; SGD tail diverges on the stiff physics term)",
     }
     with open(os.path.join(args.out, "eval.json"), "w") as f:
         json.dump(metrics, f, indent=2)
