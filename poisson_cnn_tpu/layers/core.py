@@ -269,7 +269,7 @@ class JacobiIterationLayer(nn.Module):
     """Differentiable weighted-Jacobi post-smoother: n sweeps of lap(u)=rhs with
     the boundary frozen (reference `layers/JacobiIterationLayer.py:7-66`,
     5-point stencil). No parameters. On TPU this dispatches to the fused Pallas
-    kernel (`ops.pallas_kernels`, ~17x faster than the per-sweep XLA stencils at
+    kernel (`ops.pallas_kernels`, honest 10.3x over the per-sweep XLA stencils at
     256^2 — the sweeps stay resident in VMEM)."""
 
     n_iterations: int = 5

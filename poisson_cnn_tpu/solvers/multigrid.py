@@ -20,7 +20,8 @@ from .iterative import jacobi_smooth as _xla_jacobi_smooth, _laplacian_interior
 
 
 def _smooth(u, rhs, dx, n):
-    # fused Pallas sweeps on TPU for single-channel fields (17x at 256^2),
+    # fused Pallas sweeps on TPU for single-channel fields (honest 10.3x at 256^2,
+    # scripts/bench_pallas_smoother.py),
     # XLA stencils elsewhere; multigrid smoothing is the V-cycle's hot loop
     import jax
 
