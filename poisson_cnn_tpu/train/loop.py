@@ -55,6 +55,53 @@ def make_optimizer(cfg: TrainingConfig, phase: str = "main") -> optax.GradientTr
     return base
 
 
+def two_phase_adam_sgd(
+    lr: float, switch_step: int, total_steps: int, tail_lr_mult: float = 10.0
+) -> optax.GradientTransformation:
+    """Single-executable two-phase optimizer: Adam (warmup cosine to 0.3x)
+    before `switch_step`, momentum-SGD tail (cosine from tail_lr_mult*lr to
+    5%) after, selected by a traced step counter under lax.cond.
+
+    This is the drift study's fix in fused form: one compiled step per grid
+    shape covers both phases (swapping optimizers changes the HLO and forces
+    a recompile per shape — ~20 min each for flagship-size graphs on the
+    remote AOT helper). The Trainer's optimizer='adam-sgd' swap-based path
+    is simpler and fine for models that compile quickly; use this for huge
+    compile units. Caveat: the SGD tail diverges on stiff objectives (e.g.
+    fine-grid FD-Laplacian physics losses) — see the drift-study notes.
+    """
+    warmup = min(200, max(1, switch_step // 5))
+    adam = optax.adam(
+        optax.warmup_cosine_decay_schedule(0.0, lr, warmup, switch_step, lr * 0.3)
+    )
+    sgd = optax.sgd(
+        optax.cosine_decay_schedule(
+            lr * tail_lr_mult, max(1, total_steps - switch_step), alpha=0.05
+        ),
+        momentum=0.9,
+    )
+
+    def init(params):
+        return {
+            "t": jnp.zeros((), jnp.int32),
+            "adam": adam.init(params),
+            "sgd": sgd.init(params),  # zeros until the tail's first step
+        }
+
+    def update(grads, state, params=None):
+        def do_adam(_):
+            up, s = adam.update(grads, state["adam"], params)
+            return up, {"t": state["t"] + 1, "adam": s, "sgd": state["sgd"]}
+
+        def do_sgd(_):
+            up, s = sgd.update(grads, state["sgd"], params)
+            return up, {"t": state["t"] + 1, "adam": state["adam"], "sgd": s}
+
+        return jax.lax.cond(state["t"] < switch_step, do_adam, do_sgd, None)
+
+    return optax.GradientTransformation(init, update)
+
+
 def save_checkpoint(ckpt_dir: str, params, step: int):
     import orbax.checkpoint as ocp
 

@@ -85,40 +85,7 @@ EVAL_DEMO = dataclasses.replace(
 )
 
 
-def two_phase_adam_sgd(lr, switch_step, total_steps):
-    """Single-executable two-phase optimizer: Adam (warmup cosine) before
-    `switch_step`, momentum-SGD tail after, selected by a traced step counter
-    with lax.cond. One compiled step per grid shape covers both phases —
-    halving the ~20-min-per-executable remote compile bill vs swapping
-    optimizers (which changes the HLO and forces a recompile per shape)."""
-    warmup = min(200, max(1, switch_step // 5))
-    adam = optax.adam(
-        optax.warmup_cosine_decay_schedule(0.0, lr, warmup, switch_step, lr * 0.3)
-    )
-    sgd = optax.sgd(
-        optax.cosine_decay_schedule(lr * 10, total_steps - switch_step, alpha=0.05),
-        momentum=0.9,
-    )
-
-    def init(params):
-        return {
-            "t": jnp.zeros((), jnp.int32),
-            "adam": adam.init(params),
-            "sgd": sgd.init(params),  # zeros until the tail's first step
-        }
-
-    def update(grads, state, params=None):
-        def do_adam(_):
-            up, s = adam.update(grads, state["adam"], params)
-            return up, {"t": state["t"] + 1, "adam": s, "sgd": state["sgd"]}
-
-        def do_sgd(_):
-            up, s = sgd.update(grads, state["sgd"], params)
-            return up, {"t": state["t"] + 1, "adam": state["adam"], "sgd": s}
-
-        return jax.lax.cond(state["t"] < switch_step, do_adam, do_sgd, None)
-
-    return optax.GradientTransformation(init, update)
+from poisson_cnn_tpu.train.loop import two_phase_adam_sgd  # noqa: E402
 
 
 def build_model(which: str = "flagship"):

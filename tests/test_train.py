@@ -427,3 +427,34 @@ def test_trainer_adam_sgd_two_phase_switch():
     assert len(seen_tx) == 2 and seen_tx[0] is not seen_tx[1]
     # SGD-tail lr = learning_rate * sgd_tail_lr_mult
     assert tr.current_learning_rate() == pytest.approx(1e-2)
+
+
+def test_two_phase_adam_sgd_fused_single_executable():
+    """two_phase_adam_sgd selects the phase by a traced counter, so one
+    jitted step covers both phases (no recompile at the switch): warmup
+    ramp under Adam, then gradient-proportional momentum-SGD updates."""
+    import optax
+    from poisson_cnn_tpu.train.loop import two_phase_adam_sgd
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     two_phase_adam_sgd(1e-3, 300, 1000))
+    p = {"w": jnp.ones(4)}
+    s = tx.init(p)
+    s[1]["t"] = jnp.asarray(298, jnp.int32)  # two steps before the switch
+    g = {"w": jnp.full(4, 0.01)}
+
+    @jax.jit
+    def step(p, s):
+        up, s2 = tx.update(g, s, p)
+        return optax.apply_updates(p, up), s2, up
+
+    mags = []
+    for _ in range(4):
+        p, s, up = step(p, s)
+        mags.append(float(jnp.abs(up["w"]).max()))
+    # adam phase: schedule count starts at 0 -> warmup lr 0, then ramps
+    assert mags[0] == 0.0 and 0.0 < mags[1] < 1e-4
+    # sgd tail first step: lr_tail * g = 1e-2 * 0.01 = 1e-4 exactly
+    assert mags[2] == pytest.approx(1e-4, rel=0.05)
+    # momentum accumulates
+    assert mags[3] > mags[2]
