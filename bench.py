@@ -172,8 +172,8 @@ def main():
         help="fast = FLOP-reduced HPNN-Fast (accuracy parity shown in "
         "checkpoints/hpnn_fast/eval.json); flagship = reference-scale HPNN",
     )
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=64, help="chained scan length")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=32, help="chained scan length")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
         "--train", action="store_true",
