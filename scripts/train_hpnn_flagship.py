@@ -161,37 +161,29 @@ def main():
     opt_state = jax.device_put(tx.init(params), jax.devices()[0])
 
     step_cache = {}
+    gen_cache = {}
 
     def make_step(shape, tx):
+        # Two-jit pipeline: datagen in its own executable, the train step
+        # taking the batch as explicit device arrays. The FUSED graph's MLIR
+        # (~730-850KB) gets the remote AOT compile helper OOM-killed for the
+        # full flagship backward; split, the step compiles in ~2.5 min.
+        # Intermediates stay on device — no extra host transfer.
         @jax.jit
-        def step(params, opt_state, key):
-            def micro_loss(p, k):
-                batch = generate_batch(k, DATA, shape)
-                pred = model.apply(p, batch["rhs"], batch["dx"])
-                return losses.loss_wrapper(
-                    LOSS, batch["soln"], pred, batch["rhs"], batch["dx"]
-                )
+        def gen(key):
+            return generate_batch(key, DATA, shape)
 
-            if ACCUM == 1:
-                # single-microbatch fast path: no scan — the remote compile
-                # helper OOMs on the scan-wrapped accumulation graph
-                loss_sum, grads = jax.value_and_grad(micro_loss)(params, key)
-            else:
-                keys = jax.random.split(key, ACCUM)
+        @jax.jit
+        def step(params, opt_state, rhs, soln, dx):
+            def loss_fn(p):
+                pred = model.apply(p, rhs, dx)
+                return losses.loss_wrapper(LOSS, soln, pred, rhs, dx)
 
-                def body(carry, k):
-                    loss, grads = jax.value_and_grad(micro_loss)(params, k)
-                    acc_loss, acc_grads = carry
-                    acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-                    return (acc_loss + loss, acc_grads), None
-
-                zero = jax.tree_util.tree_map(jnp.zeros_like, params)
-                (loss_sum, grads), _ = jax.lax.scan(body, (0.0, zero), keys)
-            # loss_wrapper already normalizes by global_batch_size, so the
-            # accumulated sum over the microbatches IS the global-batch loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state2 = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state2, loss_sum
+            return optax.apply_updates(params, updates), opt_state2, loss
 
+        gen_cache[shape] = gen
         return step
 
     key = jax.random.PRNGKey(1)
@@ -216,7 +208,10 @@ def main():
             print(f"[{it}] compiling shape {shape}", flush=True)
             step_cache[shape] = make_step(shape, tx)
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step_cache[shape](params, opt_state, sub)
+        batch = gen_cache[shape](sub)
+        params, opt_state, loss = step_cache[shape](
+            params, opt_state, batch["rhs"], batch["soln"], batch["dx"]
+        )
         running.append(float(loss))
         if (it + 1) % 100 == 0:
             window = float(np.mean(running[-100:]))
