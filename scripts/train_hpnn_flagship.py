@@ -130,6 +130,9 @@ def main():
                    "(default: 35%% of --steps; the drift study's Adam basin "
                    "arrives well before the Adam walk kicks the params out)")
     p.add_argument("--eval-only", default=None)
+    p.add_argument("--continue-from", default=None,
+                   help="checkpoint to warm-start params from (fresh "
+                   "optimizer state; the two-phase schedule restarts)")
     p.add_argument("--model", default="flagship", choices=["flagship", "big"])
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_flagship")
     args = p.parse_args()
@@ -152,6 +155,12 @@ def main():
         params, _ = restore_checkpoint(args.eval_only, params)
         print(json.dumps(evaluate(model, params)))
         return
+
+    if args.continue_from:
+        params, prev_step = restore_checkpoint(args.continue_from, params)
+        params = jax.device_put(params, jax.devices()[0])
+        print(f"continuing from {args.continue_from} (step {prev_step})",
+              flush=True)
 
     switch_step = args.switch_step or max(1, int(args.steps * 0.35))
     tx = optax.chain(
