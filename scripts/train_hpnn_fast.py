@@ -62,18 +62,39 @@ LOSS = losses.LossConfig(
 )
 
 
-def evaluate(model, params):
+def evaluate(model, params, grid_shapes=((97, 97), (65, 129))):
     apply_fn = jax.jit(lambda rhs, dx: model.apply(params, rhs, dx))
-    return evaluate_hpnn(apply_fn, DATA)
+    return evaluate_hpnn(apply_fn, DATA, grid_shapes=grid_shapes)
 
 
 def main():
+    global DATA
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=12000)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--eval-only", default=None)
+    p.add_argument(
+        "--large-grids", action="store_true",
+        help="train/eval in the 192-384 regime (257 lattice) instead of "
+        "64-128: the bench headline (solves/sec @256^2) should pair with "
+        "accuracy measured at the same grid scale",
+    )
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_fast")
     args = p.parse_args()
+
+    eval_shapes = ((97, 97), (65, 129))
+    if args.large_grids:
+        import dataclasses as _dc
+
+        DATA = _dc.replace(
+            DATA,
+            batch_size=16,
+            grids=GridSamplingConfig(((192, 384), (192, 384)), (5e-3, 5e-2),
+                                     snap=128),
+            fourier_mode_range=(1, 8),
+            taylor_degree_range=(2, 6),
+        )
+        eval_shapes = ((257, 257), (321, 257))
 
     model = HPNNFast(MODEL)
     rng = np.random.default_rng(0)
@@ -88,7 +109,7 @@ def main():
 
     if args.eval_only:
         params, _ = restore_checkpoint(args.eval_only, params)
-        print(json.dumps(evaluate(model, params)))
+        print(json.dumps(evaluate(model, params, eval_shapes)))
         return
 
     schedule = optax.warmup_cosine_decay_schedule(
@@ -149,7 +170,7 @@ def main():
     path = save_checkpoint(args.out, params, args.steps)
     with open(os.path.join(args.out, "config.json"), "w") as f:
         json.dump(dataclasses.asdict(MODEL), f, indent=2)
-    metrics = evaluate(model, params)
+    metrics = evaluate(model, params, eval_shapes)
     metrics["final_train_loss"] = float(np.mean(running[-200:]))
     metrics["checkpoint"] = path
     with open(os.path.join(args.out, "eval.json"), "w") as f:
