@@ -175,6 +175,7 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=32, help="chained scan length")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--n", type=int, default=256, help="grid size")
     ap.add_argument(
         "--train", action="store_true",
         help="measure train samples/sec/chip instead (full generating train "
@@ -188,7 +189,7 @@ def main():
     from poisson_cnn_tpu.models import HPNN, HPNNConfig
     from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, load_fast_config
 
-    n, batch = 256, args.batch
+    n, batch = args.n, args.batch
     if args.model == "flagship":
         model = HPNN(HPNNConfig(dtype="bfloat16"))
         batch = min(batch, 8)
@@ -249,7 +250,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"HPNN-{args.model} 256x256 Poisson solves/sec (single chip)",
+                "metric": f"HPNN-{args.model} {n}x{n} Poisson solves/sec (single chip)",
                 "value": round(solves_per_sec, 2),
                 "unit": "solves/sec",
                 "vs_baseline": round(solves_per_sec / 5000.0, 4),

@@ -79,6 +79,10 @@ def main():
         "64-128: the bench headline (solves/sec @256^2) should pair with "
         "accuracy measured at the same grid scale",
     )
+    p.add_argument(
+        "--xl-grids", action="store_true",
+        help="train/eval in the 384-513 regime (385/513 lattice)",
+    )
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_fast")
     args = p.parse_args()
 
@@ -95,6 +99,18 @@ def main():
             taylor_degree_range=(2, 6),
         )
         eval_shapes = ((257, 257), (321, 257))
+    if args.xl_grids:
+        import dataclasses as _dc
+
+        DATA = _dc.replace(
+            DATA,
+            batch_size=8,
+            grids=GridSamplingConfig(((384, 513), (384, 513)), (2e-3, 8e-3),
+                                     snap=128),
+            fourier_mode_range=(1, 10),
+            taylor_degree_range=(2, 6),
+        )
+        eval_shapes = ((385, 385), (513, 385))
 
     model = HPNNFast(MODEL)
     rng = np.random.default_rng(0)
