@@ -1,6 +1,9 @@
 """Headline benchmark: 256x256 Poisson solves/sec through the HPNN on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. The default
+run also measures BASELINE.md's second metric (train samples/sec/chip, full
+generating train step) and embeds it in the line's `detail` — use --train for
+that metric standalone or --forward-only to skip it.
 Baseline target (BASELINE.md): >= 5,000 solves/sec at 256x256 on one TPU v5e.
 
 Measurement is designed to be un-fakeable:
@@ -70,9 +73,10 @@ def _graph_flops(fn, *args) -> float:
 def bench_train(args):
     """Train samples/sec/chip (BASELINE.md training metric): time N full
     generating train steps (on-device data synthesis + forward + backward +
-    adam update) on the HPNN-Fast trainer config at 256x256. Each step's
-    params feed the next, so no step can be elided; the final device_get
-    forces completion of the whole chain."""
+    adam update) on the HPNN-Fast trainer config at args.n x args.n. Each
+    step's params feed the next, so no step can be elided; the final
+    device_get forces completion of the whole chain. Returns the metrics
+    dict (so the default bench can embed it in the headline line)."""
     import optax
 
     from poisson_cnn_tpu import losses
@@ -84,7 +88,7 @@ def bench_train(args):
     )
     from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, load_fast_config
 
-    n, batch = 256, args.batch
+    n, batch = args.n, args.batch
     data_cfg = ReverseConfig(
         batch_size=batch,
         grids=GridSamplingConfig(((n, n), (n, n)), (5e-3, 5e-2)),
@@ -143,24 +147,20 @@ def bench_train(args):
             f"BENCH INVALID: implied {implied_flops/1e12:.1f} TFLOP/s exceeds "
             f"{dev.device_kind} peak {peak/1e12:.0f} TFLOP/s."
         )
-    print(
-        json.dumps(
-            {
-                "metric": "HPNN-fast 256x256 train samples/sec/chip (generating step)",
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/sec",
-                "vs_baseline": None,
-                "detail": {
-                    "batch": batch,
-                    "steps_timed": args.iters,
-                    "gflop_per_step": round(flops_per_step / 1e9, 2),
-                    "implied_tflops": round(implied_flops / 1e12, 2),
-                    "mfu_vs_bf16_peak": round(implied_flops / peak, 4),
-                    "device_kind": str(getattr(dev, "device_kind", "unknown")),
-                },
-            }
-        )
-    )
+    return {
+        "metric": f"HPNN-fast {n}x{n} train samples/sec/chip (generating step)",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/sec",
+        "vs_baseline": None,
+        "detail": {
+            "batch": batch,
+            "steps_timed": args.iters,
+            "gflop_per_step": round(flops_per_step / 1e9, 2),
+            "implied_tflops": round(implied_flops / 1e12, 2),
+            "mfu_vs_bf16_peak": round(implied_flops / peak, 4),
+            "device_kind": str(getattr(dev, "device_kind", "unknown")),
+        },
+    }
 
 
 def main():
@@ -178,16 +178,26 @@ def main():
     ap.add_argument("--n", type=int, default=256, help="grid size")
     ap.add_argument(
         "--train", action="store_true",
-        help="measure train samples/sec/chip instead (full generating train "
+        help="measure ONLY train samples/sec/chip (full generating train "
         "step: on-device data synthesis + fwd + bwd + adam update; steps are "
         "inherently dependency-chained through the params)",
     )
+    ap.add_argument(
+        "--forward-only", action="store_true",
+        help="skip the training-throughput measurement that the default run "
+        "embeds in the headline line's detail",
+    )
     args = ap.parse_args()
     if args.train:
-        return bench_train(args)
+        print(json.dumps(bench_train(args)))
+        return
 
     from poisson_cnn_tpu.models import HPNN, HPNNConfig
-    from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, load_fast_config
+    from poisson_cnn_tpu.models.hpnn_fast import (
+        HPNNFast,
+        load_fast_config,
+        loaded_fast_config_path,
+    )
 
     n, batch = args.n, args.batch
     if args.model == "flagship":
@@ -247,6 +257,25 @@ def main():
             "not measure real execution. Refusing to report."
         )
 
+    detail = {
+        "batch": batch,
+        "chained_iters": iters,
+        "gflop_per_solve": round(flops_per_call / batch / 1e9, 3),
+        "implied_tflops": round(implied_flops / 1e12, 2),
+        "mfu_vs_bf16_peak": round(mfu, 4),
+        "device_kind": str(getattr(dev, "device_kind", "unknown")),
+        "fast_config": loaded_fast_config_path() if args.model == "fast" else None,
+    }
+    # BASELINE.md's second metric (train samples/sec/chip), embedded in the
+    # same single JSON line so the driver captures both measurements
+    if args.model == "fast" and not args.forward_only:
+        try:
+            t = bench_train(args)
+            detail["train_samples_per_sec_chip"] = t["value"]
+            detail["train_detail"] = t["detail"]
+        except Exception as e:  # keep the headline even if the train leg fails
+            detail["train_error"] = repr(e)
+
     print(
         json.dumps(
             {
@@ -254,14 +283,7 @@ def main():
                 "value": round(solves_per_sec, 2),
                 "unit": "solves/sec",
                 "vs_baseline": round(solves_per_sec / 5000.0, 4),
-                "detail": {
-                    "batch": batch,
-                    "chained_iters": iters,
-                    "gflop_per_solve": round(flops_per_call / batch / 1e9, 3),
-                    "implied_tflops": round(implied_flops / 1e12, 2),
-                    "mfu_vs_bf16_peak": round(mfu, 4),
-                    "device_kind": str(getattr(dev, "device_kind", "unknown")),
-                },
+                "detail": detail,
             }
         )
     )

@@ -146,7 +146,11 @@ class HPNN(nn.Module):
             nn.remat(BottleneckBlock) if cfg.remat_branches else BottleneckBlock
         )
         # explicit names = the plain auto-names, so parameters are
-        # interchangeable between remat and non-remat configurations
+        # interchangeable between remat and non-remat configurations.
+        # branch_index advances on every enumeration position, INCLUDING
+        # skipped branches, so a branch's name is shape-independent: params
+        # initialized at one grid shape apply at any other even when a config
+        # interleaves small resize factors after large deconv factors
         branch_index = 0
         branch_results = []
         for ds, dk, ck in zip(
@@ -154,6 +158,7 @@ class HPNN(nn.Module):
             cfg.deconv_kernel_sizes,
             cfg.deconv_conv_kernel_sizes,
         ):
+            branch_index += 1
             if min(grid_shape) < 2 * ds:
                 continue
             branch_results.append(
@@ -170,15 +175,15 @@ class HPNN(nn.Module):
                     use_resnet=cfg.bottleneck_use_resnet,
                     use_batchnorm=cfg.use_batchnorm,
                     padding_mode="symmetric",
-                    name=f"BottleneckBlock_{branch_index}",
+                    name=f"BottleneckBlock_{branch_index - 1}",
                 )(x)
             )
-            branch_index += 1
         for ds, ck, rm in zip(
             cfg.resize_downsampling_factors,
             cfg.resize_conv_kernel_sizes,
             cfg.resize_methods,
         ):
+            branch_index += 1
             if min(grid_shape) < 2 * ds:
                 continue
             branch_results.append(
@@ -195,10 +200,9 @@ class HPNN(nn.Module):
                     use_resnet=cfg.bottleneck_use_resnet,
                     use_batchnorm=cfg.use_batchnorm,
                     padding_mode="constant",
-                    name=f"BottleneckBlock_{branch_index}",
+                    name=f"BottleneckBlock_{branch_index - 1}",
                 )(x)
             )
-            branch_index += 1
         non_bottleneck = PadConv(cfg.bottleneck_filters, 5, "leaky_relu", dtype=dtype)(x)
         if branch_results:
             merged = sum(branch_results) / float(

@@ -252,10 +252,23 @@ class HPNNFast(nn.Module):
         return out
 
 
-def load_fast_config(
-    path: str = "/root/repo/checkpoints/hpnn_fast/config.json",
-) -> HPNNFastConfig:
-    """Config of the trained fast checkpoint if present, else defaults."""
+#: default trained-checkpoint config location, relative to the repo root that
+#: contains this package (checkpoints/ is a sibling of poisson_cnn_tpu/).
+_DEFAULT_FAST_CONFIG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "checkpoints", "hpnn_fast", "config.json",
+)
+
+
+def load_fast_config(path: Optional[str] = None) -> HPNNFastConfig:
+    """Config of a trained fast checkpoint if present, else defaults.
+
+    Resolution order: explicit `path` argument > `POISSON_CNN_TPU_FAST_CONFIG`
+    env var > package-relative default (../checkpoints/hpnn_fast/config.json).
+    Use `loaded_fast_config_path()` to see which file (if any) was read.
+    """
+    if path is None:
+        path = os.environ.get("POISSON_CNN_TPU_FAST_CONFIG", _DEFAULT_FAST_CONFIG)
     if os.path.exists(path):
         with open(path) as f:
             d = json.load(f)
@@ -264,3 +277,10 @@ def load_fast_config(
                 d[k] = tuple(d[k])
         return HPNNFastConfig(**d)
     return HPNNFastConfig()
+
+
+def loaded_fast_config_path(path: Optional[str] = None) -> Optional[str]:
+    """The config file `load_fast_config` would read, or None (defaults)."""
+    if path is None:
+        path = os.environ.get("POISSON_CNN_TPU_FAST_CONFIG", _DEFAULT_FAST_CONFIG)
+    return path if os.path.exists(path) else None

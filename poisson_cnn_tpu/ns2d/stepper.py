@@ -114,7 +114,7 @@ def cg_pressure_solver(grid: MACGrid, n_iterations: int = 200,
 
 
 def cnn_pressure_initializer(
-    model, params, grid: MACGrid, match_peak: bool = True,
+    model, params, grid: MACGrid, match_peak=None,
     noise_floor: float = 0.0, amplitude: str = "lstsq",
 ):
     """Wrap a trained (Neumann) HPNN as a pressure-Poisson initial guess:
@@ -133,13 +133,30 @@ def cnn_pressure_initializer(
       'match_peak': peak|lap(pred)| == peak|rhs| (the round-1 heuristic;
         brittle because the prediction's high-frequency error dominates the
         Laplacian peak).
-    match_peak=False with amplitude='match_peak' multiplies by peak|rhs| only.
+      'peak_rhs': multiply by peak|rhs| only (undo the input normalization).
+
+    match_peak (bool): DEPRECATED — the pre-enum toggle; match_peak=False with
+    amplitude='match_peak' is remapped to amplitude='peak_rhs' (the old
+    semantics) and a DeprecationWarning is emitted.
 
     noise_floor (> 0): return the zero guess when peak|rhs| is below it —
     blunt out-of-distribution guard, superseded by 'lstsq' (kept for parity
     with the round-1 experiments; the reference ultimately shipped with its
     CNN start disabled, `Navier_Stokes_2D/solvers.py:244-267`)."""
     from ..ops import apply_fd_operator, peak_magnitudes
+
+    if match_peak is not None:
+        import warnings
+
+        warnings.warn(
+            "cnn_pressure_initializer(match_peak=...) is deprecated; use "
+            "amplitude='lstsq'|'match_peak'|'peak_rhs'", DeprecationWarning,
+            stacklevel=2,
+        )
+        if amplitude == "match_peak" and not match_peak:
+            amplitude = "peak_rhs"
+    if amplitude not in ("lstsq", "match_peak", "peak_rhs"):
+        raise ValueError(f"unknown amplitude mode {amplitude!r}")
 
     def init(rhs):
         r = rhs[None, :, :, None]
@@ -153,7 +170,7 @@ def cnn_pressure_initializer(
             num = jnp.sum(lap * rhs_int)
             den = jnp.sum(lap * lap) + 1e-30
             out = out * (num / den)
-        elif match_peak:
+        elif amplitude == "match_peak":
             lap = apply_fd_operator(out, dx, 5, 2)
             out = out * (rhs_peak / (peak_magnitudes(lap) + 1e-30))[:, None, None, None]
         else:

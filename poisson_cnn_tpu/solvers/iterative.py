@@ -96,23 +96,27 @@ def conjugate_gradient(
 
     Runs on the interior unknowns only; fixed iteration count keeps the loop a
     static `fori_loop` (TPU-friendly — no host sync on residual norms).
+    Rank-agnostic (1/2/3-D), like laplacian_dirichlet/jacobi_smooth above.
     """
+    nd = rhs.ndim - 2
     if dx.shape[-1] == 1:
-        dx = jnp.broadcast_to(dx, (dx.shape[0], 2))
+        dx = jnp.broadcast_to(dx, (dx.shape[0], nd))
     inv_dx2 = (1.0 / dx**2).astype(rhs.dtype)
+    border = ((0, 0),) + ((1, 1),) * nd + ((0, 0),)
+    interior = (slice(None),) + (slice(1, -1),) * nd + (slice(None),)
+    bshape = (-1,) + (1,) * (nd + 1)
 
     def matvec(x_int):
-        # x_int: (B, n0-2, n1-2, C) -> embed with zero border, apply, crop
-        x = jnp.pad(x_int, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        return _laplacian_interior(x, inv_dx2)
+        # x_int: (B, *spatial-2, C) -> embed with zero border, apply, crop
+        return _laplacian_interior(jnp.pad(x_int, border), inv_dx2)
 
-    b = rhs[:, 1:-1, 1:-1, :]
-    x = jnp.zeros_like(b) if x0 is None else x0[:, 1:-1, 1:-1, :]
+    b = rhs[interior]
+    x = jnp.zeros_like(b) if x0 is None else x0[interior]
     # (CG's recurrences are sign-consistent for definite operators of either
     # sign; lap is negative definite on the homogeneous-Dirichlet subspace)
     r = b - matvec(x)
     p = r
-    axes = (1, 2, 3)
+    axes = tuple(range(1, rhs.ndim))
     rs = jnp.sum(r * r, axis=axes)
     rs0 = rs
 
@@ -123,17 +127,15 @@ def conjugate_gradient(
         ap = matvec(p)
         denom = jnp.sum(p * ap, axis=axes)
         alpha = jnp.where(live, rs / jnp.where(denom == 0, 1.0, denom), 0.0)
-        x = x + alpha[:, None, None, None] * p
-        r = r - alpha[:, None, None, None] * ap
+        x = x + alpha.reshape(bshape) * p
+        r = r - alpha.reshape(bshape) * ap
         rs_new = jnp.where(live, jnp.sum(r * r, axis=axes), rs)
         beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1.0, rs), 0.0)
-        p = r + beta[:, None, None, None] * p
+        p = r + beta.reshape(bshape) * p
         return x, r, p, rs_new
 
     x, _, _, _ = jax.lax.fori_loop(0, n_iterations, body, (x, r, p, rs))
     # non-finite samples must stay non-finite: the converged-freeze guard's
     # NaN comparisons are False, which would silently return the initial guess
-    x = jnp.where(
-        jnp.isfinite(rs0)[:, None, None, None], x, jnp.full_like(x, jnp.nan)
-    )
-    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x = jnp.where(jnp.isfinite(rs0).reshape(bshape), x, jnp.full_like(x, jnp.nan))
+    return jnp.pad(x, border)

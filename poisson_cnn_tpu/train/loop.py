@@ -209,13 +209,21 @@ class Trainer:
                 step = self._step_for(shape)
                 self.key, sub = jax.random.split(self.key)
                 self.state, metrics = step(self.state, sub)
-                loss = float(metrics["loss"])
-                if not math.isfinite(loss):
-                    raise FloatingPointError(
-                        f"non-finite loss at epoch {epoch} step {it}: {loss}"
-                    )
-                epoch_losses.append(loss)
-            mean_loss = float(np.mean(epoch_losses))
+                # keep the loss on device: fetching it here would block host
+                # dispatch against device execution every step. The NaN guard
+                # only samples the LATEST loss every log_every steps — a NaN
+                # anywhere in the window propagates through params into every
+                # later loss, so the windowed check still catches it (within
+                # log_every steps, like the reference's per-step TerminateOnNaN
+                # `train/hpnn_legacy_train.py:49` but without the sync).
+                epoch_losses.append(metrics["loss"])
+                if (it + 1) % self.log_every == 0 or it + 1 == cfg.steps_per_epoch:
+                    latest = float(epoch_losses[-1])
+                    if not math.isfinite(latest):
+                        raise FloatingPointError(
+                            f"non-finite loss at epoch {epoch} step {it}: {latest}"
+                        )
+            mean_loss = float(np.mean([float(x) for x in epoch_losses]))
             self.history.append(mean_loss)
             dt = time.time() - t0
             sps = cfg.steps_per_epoch / dt
@@ -265,8 +273,28 @@ def _get_lr(opt_state):
 
 
 def _set_lr(opt_state, lr: float):
-    hp = _find_hyperparams(opt_state)
-    hp.hyperparams["learning_rate"] = jnp.asarray(
-        lr, dtype=hp.hyperparams["learning_rate"].dtype
-    )
-    return opt_state
+    """Return a NEW opt_state with the injected learning rate replaced.
+
+    Purely functional: rebuilds the containing (named)tuples instead of
+    assigning into `InjectHyperparamsState.hyperparams` — in-place mutation
+    relies on the dict being shared by reference, which silently becomes a
+    no-op on jit-donated or tree_map-reconstructed states."""
+
+    def rebuild(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            hp = dict(s.hyperparams)
+            hp["learning_rate"] = jnp.asarray(
+                lr, dtype=jnp.asarray(hp["learning_rate"]).dtype
+            )
+            return s._replace(hyperparams=hp)
+        if isinstance(s, tuple):
+            rebuilt = [rebuild(x) for x in s]
+            return type(s)(*rebuilt) if hasattr(s, "_fields") else tuple(rebuilt)
+        if isinstance(s, list):
+            return [rebuild(x) for x in s]
+        return s
+
+    new_state = rebuild(opt_state)
+    if _find_hyperparams(new_state) is None:
+        raise ValueError("opt_state contains no inject_hyperparams learning_rate")
+    return new_state

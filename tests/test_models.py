@@ -1,6 +1,8 @@
 """Model tests: shape sweeps over variable grids, BC enforcement, gradient
 flow, overfit-a-tiny-batch trainability (SURVEY.md §4 strategy)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -55,6 +57,31 @@ def test_hpnn_forward_shapes_variable_grids():
         rhs = jnp.ones((2,) + shape + (1,))
         out = model.apply(params, rhs, dx)
         assert out.shape == rhs.shape, shape
+
+
+def test_hpnn_branch_names_shape_independent():
+    """Branch param names derive from the enumeration position, not from the
+    count of non-skipped branches: with a resize factor SMALLER than the
+    largest deconv factor, params initialized at a big grid (all branches
+    live) must apply at a small grid where the deconv branch is skipped —
+    the surviving resize branch keeps its own (resize-structured) params."""
+    cfg = dataclasses.replace(
+        SMALL_HPNN,
+        deconv_downsampling_factors=(8,), deconv_kernel_sizes=(8,),
+        deconv_conv_kernel_sizes=(3,),
+        resize_downsampling_factors=(2,), resize_conv_kernel_sizes=(3,),
+        resize_methods=("bilinear",),
+    )
+    model = HPNN(cfg)
+    dx = jnp.full((1, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 1)), dx)
+    names = set(params["params"].keys())
+    assert {"BottleneckBlock_0", "BottleneckBlock_1"} <= names
+    # grid 8: min(shape) < 2*8 skips the deconv branch; the resize branch must
+    # still bind to BottleneckBlock_1 (a deconv-vs-resize structure mismatch
+    # raises in flax apply)
+    out = model.apply(params, jnp.ones((1, 8, 8, 1)), dx)
+    assert out.shape == (1, 8, 8, 1)
 
 
 def test_hpnn_dirichlet_boundary_zero():

@@ -173,6 +173,68 @@ def test_lr_plateau_mechanics(tmp_path):
     assert tr.current_learning_rate() == pytest.approx(5e-4)
 
 
+def test_trainer_no_per_step_host_sync():
+    """The hot loop must not fetch the loss to host every step (that would
+    serialize dispatch against device execution): with log_every > steps, no
+    step's loss may be materialized before the last step has been dispatched."""
+    from poisson_cnn_tpu.train.loop import Trainer
+    from poisson_cnn_tpu.train.config import TrainingConfig
+
+    n_steps = 10
+    tracker = {"dispatched": 0, "fetches": []}
+
+    class SpyLoss:
+        def __init__(self, i):
+            self.i = i
+
+        def __float__(self):
+            tracker["fetches"].append((self.i, tracker["dispatched"]))
+            return 0.5
+
+    def make_step(shape, tx):
+        def step(state, key):
+            tracker["dispatched"] += 1
+            return (
+                state.replace(step=state.step + 1),
+                {"loss": SpyLoss(tracker["dispatched"] - 1)},
+            )
+
+        return step
+
+    cfg = TrainingConfig(n_epochs=1, steps_per_epoch=n_steps, learning_rate=1e-3)
+    tr = Trainer({"w": jnp.ones(3)}, lambda: (8, 8), make_step, cfg,
+                 log_every=1000)
+    tr.run()
+    assert tracker["fetches"], "loss never checked at all"
+    for i, dispatched_at_fetch in tracker["fetches"]:
+        assert dispatched_at_fetch == n_steps, (
+            f"loss of step {i} fetched after only {dispatched_at_fetch} "
+            f"dispatched steps — per-step host sync is back"
+        )
+
+
+def test_set_lr_functional_rebuild():
+    """_set_lr must return a rebuilt state (no in-place dict mutation): it has
+    to survive tree_map reconstruction and must not alias the input state."""
+    import optax
+    from poisson_cnn_tpu.train.config import TrainingConfig
+    from poisson_cnn_tpu.train.loop import make_optimizer, _get_lr, _set_lr
+
+    cfg = TrainingConfig(learning_rate=1e-3, grad_clip_norm=1.0)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones(4)}
+    s1 = tx.init(params)
+    # reconstruct every container the way jit donation / device_put does
+    s1 = jax.tree_util.tree_map(lambda x: x, s1)
+    s2 = _set_lr(s1, 5e-4)
+    assert float(_get_lr(s2)) == pytest.approx(5e-4)
+    assert float(_get_lr(s1)) == pytest.approx(1e-3), "input state was mutated"
+    # the new lr must actually drive updates: lr=0 -> zero update
+    s0 = _set_lr(s1, 0.0)
+    updates, _ = tx.update({"w": jnp.ones(4)}, s0, params)
+    assert float(jnp.abs(updates["w"]).max()) == 0.0
+
+
 def test_bf16_mixed_precision_training():
     """bf16 compute dtype: params stay fp32, forward/backward finite, loss
     decreases on a fixed batch (BASELINE config 4 capability)."""
@@ -388,8 +450,8 @@ def test_make_optimizer_adamw_and_clip():
     # clipped + adam-normalized + decayed update stays bounded
     assert float(jnp.abs(up["w"]).max()) < 2e-3
     assert float(_get_lr(s2)) == pytest.approx(1e-3)
-    _set_lr(s2, 5e-4)
-    assert float(_get_lr(s2)) == pytest.approx(5e-4)
+    s3 = _set_lr(s2, 5e-4)
+    assert float(_get_lr(s3)) == pytest.approx(5e-4)
 
 
 def test_trainer_adam_sgd_two_phase_switch():
