@@ -6,4 +6,8 @@ from .train import (
     make_generating_train_step,
     make_eval_step,
 )
-from .spatial import jacobi_smooth_spatial
+from .spatial import (
+    jacobi_smooth_spatial,
+    conjugate_gradient_spatial,
+    spatial_sharded_forward,
+)

@@ -93,3 +93,131 @@ def jacobi_smooth_spatial(
     u = jax.device_put(u, NamedSharding(mesh, spec))
     rhs = jax.device_put(rhs, NamedSharding(mesh, spec))
     return fn(u, rhs, dx)
+
+
+def conjugate_gradient_spatial(
+    mesh: Mesh,
+    rhs: jax.Array,
+    dx: jax.Array,
+    n_iterations: int = 200,
+    x0: jax.Array | None = None,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Spatially-decomposed full Poisson solve: fixed-iteration CG for
+    lap(u)=rhs with homogeneous Dirichlet BCs, fields sharded along H.
+
+    The multi-chip twin of `solvers.conjugate_gradient` — same math on the
+    same unknowns, expressed shard-locally: each matvec exchanges one-row
+    halos with the two H-neighbours via `lax.ppermute` (nearest-neighbour ICI
+    traffic only) and the CG inner products become `lax.psum` reductions.
+    This is the piece the reference cannot do at all (single-host DP only,
+    `poisson_CNN/train/hpnn_legacy_train.py:37`): a full solve over a grid
+    whose working set exceeds one chip's HBM.
+
+    rhs: (B, H, W, C) with H divisible by the mesh axis size; dx (B, 1|2).
+    Matches the single-device solver to fp32 reduction-order tolerance.
+    """
+    n_dev = mesh.shape[axis_name]
+    B, H, W, C = rhs.shape
+    if H % n_dev:
+        raise ValueError(f"H={H} not divisible by mesh axis size {n_dev}")
+    if dx.shape[-1] == 1:
+        dx = jnp.broadcast_to(dx, (B, 2))
+    if x0 is None:
+        x0 = jnp.zeros_like(rhs)
+
+    up_perm = [(i, i + 1) for i in range(n_dev - 1)]  # send down
+    down_perm = [(i + 1, i) for i in range(n_dev - 1)]  # send up
+
+    def local_fn(rhs_loc, x0_loc, dx_rep):
+        idx = jax.lax.axis_index(axis_name)
+        inv_dx2 = (1.0 / dx_rep**2).astype(rhs_loc.dtype)
+        w0 = inv_dx2[:, 0][:, None, None, None]
+        w1 = inv_dx2[:, 1][:, None, None, None]
+        h_loc = rhs_loc.shape[1]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, h_loc, 1, 1), 1)
+        global_row = idx * h_loc + row_ids
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2)
+        interior = (
+            (global_row > 0) & (global_row < H - 1)
+            & (col_ids > 0) & (col_ids < W - 1)
+        )
+
+        def matvec(u):
+            # halo rows (zeros at the global ends: those rows are masked out)
+            top = jax.lax.ppermute(u[:, -1:, :, :], axis_name, up_perm)
+            bot = jax.lax.ppermute(u[:, :1, :, :], axis_name, down_perm)
+            ext = jnp.concatenate([top, u, bot], axis=1)
+            vert = ext[:, :-2, :, :] - 2.0 * u + ext[:, 2:, :, :]
+            left = jnp.pad(u[:, :, :-1, :], ((0, 0), (0, 0), (1, 0), (0, 0)))
+            right = jnp.pad(u[:, :, 1:, :], ((0, 0), (0, 0), (0, 1), (0, 0)))
+            horz = left - 2.0 * u + right
+            return jnp.where(interior, vert * w0 + horz * w1, 0.0)
+
+        def pdot(a, b):
+            return jax.lax.psum(
+                jnp.sum(a * b, axis=(1, 2, 3)), axis_name
+            )
+
+        b = jnp.where(interior, rhs_loc, 0.0)
+        x = jnp.where(interior, x0_loc, 0.0)
+        r = b - matvec(x)
+        p = r
+        rs = pdot(r, r)
+        rs0 = rs
+
+        def body(_, carry):
+            # freeze converged samples (fp32 round-off amplification guard,
+            # same policy as the single-device solver)
+            x, r, p, rs = carry
+            live = rs > 1e-12 * rs0 + 1e-30
+            ap = matvec(p)
+            denom = pdot(p, ap)
+            alpha = jnp.where(live, rs / jnp.where(denom == 0, 1.0, denom), 0.0)
+            x = x + alpha[:, None, None, None] * p
+            r = r - alpha[:, None, None, None] * ap
+            rs_new = jnp.where(live, pdot(r, r), rs)
+            beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1.0, rs), 0.0)
+            p = r + beta[:, None, None, None] * p
+            return x, r, p, rs_new
+
+        x, _, _, _ = jax.lax.fori_loop(0, n_iterations, body, (x, r, p, rs))
+        x = jnp.where(
+            jnp.isfinite(rs0)[:, None, None, None], x, jnp.full_like(x, jnp.nan)
+        )
+        return x
+
+    spec = P(None, axis_name, None, None)
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=(spec, spec, P()), out_specs=spec
+    )
+    rhs = jax.device_put(rhs, NamedSharding(mesh, spec))
+    x0 = jax.device_put(x0, NamedSharding(mesh, spec))
+    return fn(rhs, x0, dx)
+
+
+def spatial_sharded_forward(
+    mesh: Mesh, apply_fn, params, rhs: jax.Array, dx: jax.Array,
+    axis_name: str = "data", donate: bool = False,
+):
+    """Model forward with activations spatially sharded along H (GSPMD).
+
+    The idiomatic TPU scale-up path for grids beyond one chip's HBM: annotate
+    the input/output shardings over the mesh and let XLA's SPMD partitioner
+    split every conv spatially, inserting the halo collective-permutes and
+    turning the resize matmuls / global reductions (GroupNorm, max-magnitude
+    scaling) into ICI collectives. Params are replicated (they are tiny next
+    to large-grid activations).
+
+    Returns (out, compiled) where `compiled` exposes `.memory_analysis()` —
+    per-device activation memory should scale ~1/n_dev vs a single-device
+    compile of the same shape, which is the point.
+    """
+    spec = NamedSharding(mesh, P(None, axis_name, None, None))
+    repl = NamedSharding(mesh, P())
+    jf = jax.jit(apply_fn, in_shardings=(repl, spec, repl), out_shardings=spec)
+    compiled = jf.lower(params, rhs, dx).compile()
+    rhs = jax.device_put(rhs, spec)
+    dx = jax.device_put(dx, repl)
+    params = jax.device_put(params, repl)
+    return compiled(params, rhs, dx), compiled
