@@ -88,7 +88,9 @@ class HPNNFastConfig:
 
 
 class SeparableConv(nn.Module):
-    """kx1 then 1xk conv (spatially separable, full channel mixing in each)."""
+    """Spatially separable conv: one (1,..,k,..,1) conv per spatial dim, full
+    channel mixing in each (kx1 + 1xk in 2-D; kx1x1 + 1xkx1 + 1x1xk in 3-D —
+    the FLOP saving grows with rank: ~k^(d-1)/d vs a dense k^d kernel)."""
 
     features: int
     kernel_size: int
@@ -99,8 +101,10 @@ class SeparableConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
-        x = PadConv(self.features, (k, 1), "linear", self.padding_mode, dtype=self.dtype)(x)
-        x = PadConv(self.features, (1, k), "linear", self.padding_mode, dtype=self.dtype)(x)
+        nd = x.ndim - 2
+        for dim in range(nd):
+            ks = tuple(k if i == dim else 1 for i in range(nd))
+            x = PadConv(self.features, ks, "linear", self.padding_mode, dtype=self.dtype)(x)
         return resolve_activation(self.activation)(x)
 
 
@@ -112,34 +116,49 @@ class FiLM(nn.Module):
     @nn.compact
     def __call__(self, x, cond):
         c = x.shape[-1]
+        nd = x.ndim - 2
         gb = nn.Dense(2 * c, dtype=self.dtype, kernel_init=nn.initializers.zeros_init())(cond)
         g, b = jnp.split(gb, 2, axis=-1)
-        return x * (1.0 + g[:, None, None, :]) + b[:, None, None, :]
+        bshape = (x.shape[0],) + (1,) * nd + (c,)
+        return x * (1.0 + g.reshape(bshape)) + b.reshape(bshape)
 
 
 def _pad_to_multiple(x: jax.Array, mult: int):
-    """Zero-pad spatial dims of (B,H,W,C) up to a multiple of `mult` (static)."""
-    B, H, W, C = x.shape
-    Hp = -(-H // mult) * mult
-    Wp = -(-W // mult) * mult
-    if (Hp, Wp) == (H, W):
-        return x, (H, W)
-    return jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0))), (H, W)
+    """Zero-pad spatial dims of (B,*spatial,C) up to a multiple of `mult`."""
+    spatial = x.shape[1:-1]
+    padded = tuple(-(-s // mult) * mult for s in spatial)
+    if padded == spatial:
+        return x, spatial
+    pads = ((0, 0),) + tuple((0, p - s) for s, p in zip(spatial, padded)) + ((0, 0),)
+    return jnp.pad(x, pads), spatial
 
 
 def space_to_depth(x: jax.Array, r: int) -> jax.Array:
-    """(B,H,W,C) -> (B,H/r,W/r,r*r*C) by folding rxr blocks into channels."""
-    B, H, W, C = x.shape
-    x = x.reshape(B, H // r, r, W // r, r, C)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // r, W // r, r * r * C)
+    """(B,*spatial,C) -> (B,*spatial/r,r^nd*C) by folding r^nd blocks into
+    channels (N-D generalization; 2-D layout unchanged)."""
+    B, C = x.shape[0], x.shape[-1]
+    sp = x.shape[1:-1]
+    nd = len(sp)
+    split = (B,) + sum(((s // r, r) for s in sp), ()) + (C,)
+    x = x.reshape(split)
+    perm = [0] + [1 + 2 * i for i in range(nd)] + [2 + 2 * i for i in range(nd)] + [1 + 2 * nd]
+    x = x.transpose(perm)
+    return x.reshape((B,) + tuple(s // r for s in sp) + (r**nd * C,))
 
 
 def depth_to_space(x: jax.Array, r: int) -> jax.Array:
     """Inverse of `space_to_depth` (subpixel projection)."""
-    B, H, W, C = x.shape
-    c = C // (r * r)
-    x = x.reshape(B, H, W, r, r, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * r, W * r, c)
+    B, C = x.shape[0], x.shape[-1]
+    sp = x.shape[1:-1]
+    nd = len(sp)
+    c = C // r**nd
+    x = x.reshape((B,) + sp + (r,) * nd + (c,))
+    perm = [0]
+    for i in range(nd):
+        perm += [1 + i, 1 + nd + i]
+    perm += [1 + 2 * nd]
+    x = x.transpose(perm)
+    return x.reshape((B,) + tuple(s * r for s in sp) + (c,))
 
 
 class HPNNFast(nn.Module):
@@ -150,18 +169,21 @@ class HPNNFast(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype) if cfg.dtype else rhs.dtype
         act = resolve_activation(cfg.activation)
-        B, H, W, _ = rhs.shape
-        dx2 = jnp.broadcast_to(dx, (B, 2)) if dx.shape[-1] == 1 else dx
-        domain_sizes = compute_domain_sizes(dx2, (H, W))
+        B = rhs.shape[0]
+        spatial = rhs.shape[1:-1]
+        nd = len(spatial)
+        ones = (1,) * nd
+        dx2 = jnp.broadcast_to(dx, (B, nd)) if dx.shape[-1] == 1 else dx
+        domain_sizes = compute_domain_sizes(dx2, spatial)
 
         raw_rhs = rhs
         if cfg.normalize_rhs_max_magnitude:
             peaks = peak_magnitudes(rhs)
-            rhs = rhs / jnp.where(peaks > 0, peaks, 1.0)[:, None, None, None]
+            rhs = rhs / jnp.where(peaks > 0, peaks, 1.0).reshape((B,) + ones + (1,))
 
         x = rhs.astype(dtype)
         if cfg.use_positional_embeddings:
-            pos = cos_position_embeddings((H, W), dtype=dtype)
+            pos = cos_position_embeddings(spatial, dtype=dtype)
             x = jnp.concatenate([x, jnp.broadcast_to(pos[None], (B,) + pos.shape)], -1)
 
         n_scales = len(cfg.scale_filters)
@@ -186,7 +208,7 @@ class HPNNFast(nn.Module):
         skips = []
         h = stem
         for f in cfg.scale_filters:
-            h = nn.Conv(f, (2, 2), strides=(2, 2), padding="VALID", dtype=dtype)(h)
+            h = nn.Conv(f, (2,) * nd, strides=(2,) * nd, padding="VALID", dtype=dtype)(h)
             for _ in range(cfg.convs_per_scale):
                 h = PadConv(f, cfg.scale_kernel_size, "linear", dtype=dtype)(h)
                 if cfg.use_norm:
@@ -198,8 +220,8 @@ class HPNNFast(nn.Module):
         # decoder: upsample-to-skip-shape (matmul resize) + merge + conv
         h = skips[-1]
         for skip in reversed(skips[:-1]):
-            up = resize_align_corners(h, skip.shape[1:3], "bilinear")
-            h = nn.Conv(skip.shape[-1], (1, 1), dtype=dtype)(
+            up = resize_align_corners(h, skip.shape[1:-1], "bilinear")
+            h = nn.Conv(skip.shape[-1], ones, dtype=dtype)(
                 jnp.concatenate([up, skip], axis=-1)
             )
             h = PadConv(skip.shape[-1], cfg.scale_kernel_size, "linear", dtype=dtype)(h)
@@ -209,7 +231,7 @@ class HPNNFast(nn.Module):
             h = FiLM(dtype=dtype)(h, cond)
 
         # full-resolution separable head
-        up = resize_align_corners(h, stem.shape[1:3], "bilinear")
+        up = resize_align_corners(h, stem.shape[1:-1], "bilinear")
         out = jnp.concatenate([up, stem], axis=-1)
         out = SeparableConv(
             cfg.head_filters, cfg.head_kernel_size, cfg.activation, dtype=dtype
@@ -218,18 +240,19 @@ class HPNNFast(nn.Module):
         out = SeparableConv(
             cfg.head_filters, cfg.head_kernel_size, cfg.activation, dtype=dtype
         )(out)
-        out = nn.Conv(r * r, (1, 1), dtype=dtype)(out)
+        out = nn.Conv(r**nd, ones, dtype=dtype)(out)
         if r > 1:
             out = depth_to_space(out, r)
-        out = out[:, :H, :W, :]
+        out = out[(slice(None),) + tuple(slice(0, s) for s in spatial) + (slice(None),)]
 
         # BC enforcement by crop-and-repad (same as HPNN:
         # `Homogeneous_Poisson_NN_Legacy.py:106-113,251`)
-        inner = out[:, 1:-1, 1:-1, :]
+        border = ((0, 0),) + ((1, 1),) * nd + ((0, 0),)
+        inner = out[(slice(None),) + (slice(1, -1),) * nd + (slice(None),)]
         if cfg.bc_type == "dirichlet":
-            out = jnp.pad(inner, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            out = jnp.pad(inner, border)
         else:
-            out = jnp.pad(inner, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="symmetric")
+            out = jnp.pad(inner, border, mode="symmetric")
 
         out = out.astype(rhs.dtype)
         if cfg.postsmoother_iterations > 0:
@@ -248,7 +271,7 @@ class HPNNFast(nn.Module):
             if mode == "match_peak_laplacian_magnitude_to_peak_rhs":
                 lap = apply_fd_operator(out, dx2, 5, 2)
                 factors = peak_magnitudes(raw_rhs) / (peak_magnitudes(lap) + 1e-30)
-            out = out * factors[:, None, None, None]
+            out = out * factors.reshape((B,) + ones + (1,))
         return out
 
 

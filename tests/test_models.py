@@ -408,6 +408,36 @@ def test_hpnn_fast_overfits_tiny_batch():
     assert losses_seq[-1] < 0.5 * losses_seq[0], losses_seq[::10]
 
 
+def test_hpnn_fast_3d_forward_bc_and_roundtrip():
+    """HPNNFast is rank-agnostic (the reference's N-D claim,
+    `Homogeneous_Poisson_NN.py:150-188`, on the TPU-first fast family):
+    3-D forward shape, exact Dirichlet boundary zeros on all six faces,
+    space_to_depth/depth_to_space N-D inverse pair."""
+    from poisson_cnn_tpu.models.hpnn_fast import (
+        HPNNFast, HPNNFastConfig, space_to_depth, depth_to_space,
+    )
+
+    x3 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 12, 4, 3))
+    y3 = space_to_depth(x3, 2)
+    assert y3.shape == (2, 4, 6, 2, 24)
+    assert jnp.allclose(depth_to_space(y3, 2), x3)
+
+    cfg = HPNNFastConfig(
+        stem_filters=8, scale_filters=(8, 16), head_filters=8,
+        dx_mlp_units=(8,), dtype=None, output_scaling="soln_max_magnitude",
+    )
+    model = HPNNFast(cfg)
+    rhs = jax.random.normal(jax.random.PRNGKey(2), (2, 21, 17, 25, 1))
+    dx = jnp.full((2, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(3), rhs, dx)
+    out = np.asarray(model.apply(params, rhs, dx))
+    assert out.shape == rhs.shape
+    for axis in (1, 2, 3):
+        first = np.take(out, 0, axis=axis)
+        last = np.take(out, -1, axis=axis)
+        assert np.abs(first).max() == 0.0 and np.abs(last).max() == 0.0, axis
+
+
 def test_hpnn_fast_flop_reduction():
     """The design contract: >=10x fewer XLA-counted FLOPs than the flagship at
     the same (modest) grid size."""
