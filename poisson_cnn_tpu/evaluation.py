@@ -51,6 +51,60 @@ def evaluate_hpnn(
     return summarize(np.concatenate(errs))
 
 
+def evaluate_hpnn_coarse_noise(
+    apply_fn: Callable,
+    grid_shapes: Sequence[Tuple[int, int]] = ((97, 97), (65, 129)),
+    n_batches: int = 4,
+    seed: int = 20_000,
+    dx_range: Tuple[float, float] = (5e-3, 5e-2),
+    batch_size: int = 32,
+    normalize_like_training: bool = True,
+) -> Dict[str, float]:
+    """OUT-OF-FAMILY protocol: coarse-noise random RHS (the reference's own
+    training distribution — uniform noise on a coarse control grid, bicubic
+    supersampled, `poisson_CNN/dataset/generators/numerical.py:10-35`),
+    homogeneous Dirichlet BCs, spectral FD ground truth.
+
+    This is the standard second column for every HPNN-family artifact: the
+    in-family `evaluate_hpnn` scores against the same generator family the
+    models train on; this one scores against a structurally different RHS
+    distribution (no truncated-series structure), which is what exposed the
+    round-2 PCNN gap (10.9% in-family vs 26.8% coarse-noise).
+
+    normalize_like_training applies the artifacts' training convention
+    (rhs -> unit peak pair-consistently, then soln -> unit peak) so bounded
+    unit-peak-output models are scored on field shape, like their in-family
+    numbers.
+    """
+    from .data import GridSamplingConfig
+    from .data.numerical import NumericalConfig, generate_numerical_batch
+    from .ops import (
+        set_max_magnitude_in_batch,
+        set_max_magnitude_in_batch_and_return_scaling_factors,
+    )
+
+    cfg = NumericalConfig(
+        batch_size=batch_size,
+        grids=GridSamplingConfig(((64, 128), (64, 128)), dx_range),
+        rhs="random",
+        nonzero_boundaries=(),
+        field_type="coarse_noise",
+        solver="spectral",
+    )
+    errs = []
+    for i in range(n_batches):
+        shape = grid_shapes[i % len(grid_shapes)]
+        batch = generate_numerical_batch(jax.random.PRNGKey(seed + i), cfg, shape)
+        rhs, soln = batch["rhs"], batch["soln"]
+        if normalize_like_training:
+            rhs, f = set_max_magnitude_in_batch_and_return_scaling_factors(rhs, 1.0)
+            soln = soln * f[:, None, None, None]
+            soln = set_max_magnitude_in_batch(soln, 1.0)
+        pred = apply_fn(rhs, batch["dx"])
+        errs.append(np.asarray(relative_l2(pred, soln)))
+    return summarize(np.concatenate(errs))
+
+
 def solver_baseline(
     solve_fn: Callable,
     data_cfg: ReverseConfig,

@@ -48,8 +48,13 @@ from poisson_cnn_tpu.data import (
     ReverseConfig,
     generate_batch,
 )
-from poisson_cnn_tpu.evaluation import evaluate_hpnn
+from poisson_cnn_tpu.data.numerical import NumericalConfig, generate_numerical_batch
+from poisson_cnn_tpu.evaluation import evaluate_hpnn, evaluate_hpnn_coarse_noise
 from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, HPNNFastConfig
+from poisson_cnn_tpu.ops import (
+    set_max_magnitude_in_batch,
+    set_max_magnitude_in_batch_and_return_scaling_factors,
+)
 from poisson_cnn_tpu.train.loop import save_checkpoint, restore_checkpoint
 
 MODEL = HPNNFastConfig(output_scaling="soln_max_magnitude")
@@ -113,7 +118,25 @@ def evaluate_all(model, params):
     for name, cfg in REGIMES.items():
         rows[name] = evaluate_hpnn(apply_fn, cfg, grid_shapes=EVAL_SHAPES[name])
     rows["worst_bucket_mean"] = max(r["rel_l2_mean"] for r in rows.values())
+    # standard out-of-family column (VERDICT round-2 weak #8): the reference's
+    # own coarse-noise training distribution, spectral FD ground truth
+    rows["coarse_noise"] = evaluate_hpnn_coarse_noise(apply_fn)
     return rows
+
+
+def _coarse_cfg(shape) -> NumericalConfig:
+    """Coarse-noise numerical data config (the reference's training
+    distribution, `poisson_CNN/dataset/generators/numerical.py:10-35`) at the
+    bucket regime's batch size, homogeneous Dirichlet BCs."""
+    base = REGIMES[regime_of(shape)]
+    return NumericalConfig(
+        batch_size=base.batch_size,
+        grids=base.grids,
+        rhs="random",
+        nonzero_boundaries=(),
+        field_type="coarse_noise",
+        solver="spectral",
+    )
 
 
 def main():
@@ -122,6 +145,11 @@ def main():
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--eval-only", default=None)
     p.add_argument("--continue-from", default=None)
+    p.add_argument(
+        "--mix-coarse", type=float, default=0.0,
+        help="fraction of steps trained on coarse-noise numerical data (the "
+        "reference's training distribution) instead of reverse-mode data",
+    )
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_fast_fullrange")
     args = p.parse_args()
 
@@ -175,6 +203,35 @@ def main():
 
         return step
 
+    def make_coarse_step(shape):
+        """Train step on coarse-noise numerical data, normalized with the same
+        training convention as the reverse-mode batches (rhs -> unit peak
+        pair-consistently, then soln -> unit peak)."""
+        ncfg = _coarse_cfg(shape)
+        loss_cfg = losses.LossConfig(
+            mse_weight=1.0, mae_weight=0.2, integral_weight=0.0,
+            global_batch_size=ncfg.batch_size,
+        )
+
+        @jax.jit
+        def step(params, opt_state, key):
+            def loss_fn(p):
+                batch = generate_numerical_batch(key, ncfg, shape)
+                rhs, f = set_max_magnitude_in_batch_and_return_scaling_factors(
+                    batch["rhs"], 1.0
+                )
+                soln = batch["soln"] * f[:, None, None, None]
+                soln = set_max_magnitude_in_batch(soln, 1.0)
+                pred = model.apply(p, rhs, batch["dx"])
+                return losses.loss_wrapper(loss_cfg, soln, pred, rhs, batch["dx"])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        return step
+
+    coarse_cache = {}
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     running = []
@@ -183,11 +240,17 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     for it in range(args.steps):
         shape = sample_shape(rng)
-        if shape not in step_cache:
-            print(f"[{it}] compiling shape {shape}", flush=True)
-            step_cache[shape] = make_step(shape)
+        use_coarse = args.mix_coarse > 0 and rng.random() < args.mix_coarse
+        cache, factory = (
+            (coarse_cache, make_coarse_step) if use_coarse
+            else (step_cache, make_step)
+        )
+        if shape not in cache:
+            print(f"[{it}] compiling {'coarse ' if use_coarse else ''}shape "
+                  f"{shape}", flush=True)
+            cache[shape] = factory(shape)
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step_cache[shape](params, opt_state, sub)
+        params, opt_state, loss = cache[shape](params, opt_state, sub)
         running.append(float(loss))
         if (it + 1) % 500 == 0:
             window = float(np.mean(running[-500:]))
