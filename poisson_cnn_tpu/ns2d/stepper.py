@@ -116,6 +116,7 @@ def cg_pressure_solver(grid: MACGrid, n_iterations: int = 200,
 def cnn_pressure_initializer(
     model, params, grid: MACGrid, match_peak=None,
     noise_floor: float = 0.0, amplitude: str = "lstsq",
+    smooth_factor: int = 0,
 ):
     """Wrap a trained (Neumann) HPNN as a pressure-Poisson initial guess:
     rhs (m, n) -> phi0 (m, n).
@@ -130,10 +131,25 @@ def cnn_pressure_initializer(
         zero start instead of destabilizing the loop. Measured on the Taylor
         step-0 pressure RHS: match_peak start residual 0.98 (no savings),
         lstsq-optimal scale cuts the field error to 7.7% rel-L2.
+      'energy': s* = -<rhs, pred> / ||grad pred||^2 — minimizes the ENERGY
+        functional E(s*pred) = s^2/2 ||grad pred||^2 + s <rhs, pred> whose
+        minimizer over all fields is the exact Neumann solution (Galerkin
+        projection onto span{pred}); by construction never worse than the
+        zero start in the energy norm. Round-3 finding: 'lstsq' amplifies the
+        prediction's high-frequency error by 1/dx^2 through the Laplacian, so
+        on an in-loop-fine-tuned model it shrinks s* to ~3% of the true scale
+        (field rel-L2 ~1.0 — the round-2 negative result); 'energy' only
+        touches first differences and recovers field rel-L2 0.16 vs the 0.14
+        per-sample-oracle floor (with smooth_factor=4).
       'match_peak': peak|lap(pred)| == peak|rhs| (the round-1 heuristic;
         brittle because the prediction's high-frequency error dominates the
         Laplacian peak).
       'peak_rhs': multiply by peak|rhs| only (undo the input normalization).
+
+    smooth_factor (> 1): low-pass the prediction before amplitude scaling by
+    resizing down by this factor and back (matmul resizes). Kills the model's
+    high-frequency error (the iterative solver's fastest-converging band
+    anyway) so the 'energy' denominator isn't inflated by it.
 
     match_peak (bool): DEPRECATED — the pre-enum toggle; match_peak=False with
     amplitude='match_peak' is remapped to amplitude='peak_rhs' (the old
@@ -155,7 +171,7 @@ def cnn_pressure_initializer(
         )
         if amplitude == "match_peak" and not match_peak:
             amplitude = "peak_rhs"
-    if amplitude not in ("lstsq", "match_peak", "peak_rhs"):
+    if amplitude not in ("lstsq", "energy", "match_peak", "peak_rhs"):
         raise ValueError(f"unknown amplitude mode {amplitude!r}")
 
     def init(rhs):
@@ -164,7 +180,25 @@ def cnn_pressure_initializer(
         rhs_peak = peak_magnitudes(r)
         safe = jnp.where(rhs_peak > 0, rhs_peak, 1.0)
         out = model.apply(params, r / safe[:, None, None, None], dx)
-        if amplitude == "lstsq":
+        if smooth_factor > 1:
+            from ..ops import resize_align_corners
+
+            m, n = out.shape[1], out.shape[2]
+            coarse = (max(2, m // smooth_factor), max(2, n // smooth_factor))
+            out = resize_align_corners(
+                resize_align_corners(out, coarse, "bilinear"), (m, n), "bicubic"
+            )
+        if amplitude == "energy":
+            p = out - jnp.mean(out, axis=(1, 2, 3), keepdims=True)
+            gpx = (p[:, 1:, :, :] - p[:, :-1, :, :]) / grid.dx
+            gpy = (p[:, :, 1:, :] - p[:, :, :-1, :]) / grid.dy
+            num = -jnp.sum(r * p, axis=(1, 2, 3))
+            den = (
+                jnp.sum(gpx * gpx, axis=(1, 2, 3))
+                + jnp.sum(gpy * gpy, axis=(1, 2, 3)) + 1e-30
+            )
+            out = p * (num / den)[:, None, None, None]
+        elif amplitude == "lstsq":
             lap = apply_fd_operator(out, dx, 3, 2)  # interior 5-point lap
             rhs_int = r[:, 1:-1, 1:-1, :]
             num = jnp.sum(lap * rhs_int)

@@ -81,7 +81,11 @@ def main():
     p.add_argument("--field-type", default="series",
                    help="training distribution; 'series' matches what the "
                    "components were trained on, 'coarse_noise' is the "
-                   "reference's distribution")
+                   "reference's distribution, 'mix' alternates both (one "
+                   "artifact that holds up on either — round-3 VERDICT #4)")
+    p.add_argument("--continue-from", default=None,
+                   help="restore combined PCNN params from this checkpoint "
+                   "instead of composing the component checkpoints")
     p.add_argument("--out", default="/root/repo/checkpoints/pcnn_finetuned")
     args = p.parse_args()
 
@@ -109,11 +113,18 @@ def main():
             "DBCNN_0": dbcnn_params["params"],
         }
     }
+    if args.continue_from:
+        params, _ = restore_checkpoint(os.path.abspath(args.continue_from), params)
     params = jax.device_put(params, jax.devices()[0])
 
-    data_cfg = make_data_cfg(args.field_type)
+    field_types = (
+        ("series", "coarse_noise") if args.field_type == "mix"
+        else (args.field_type,)
+    )
+    data_cfgs = {ft: make_data_cfg(ft) for ft in field_types}
     loss_cfg = losses.LossConfig(
-        mse_weight=1.0, mae_weight=0.2, global_batch_size=data_cfg.batch_size
+        mse_weight=1.0, mae_weight=0.2,
+        global_batch_size=data_cfgs[field_types[0]].batch_size,
     )
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, 100, args.steps, args.lr * 0.1
@@ -126,7 +137,9 @@ def main():
     rng = np.random.default_rng(0)
     step_cache = {}
 
-    def make_step(shape):
+    def make_step(shape, field_type):
+        data_cfg = data_cfgs[field_type]
+
         @jax.jit
         def step(params, opt_state, key):
             def loss_fn(p):
@@ -152,12 +165,13 @@ def main():
     best = [float("inf"), None]
     os.makedirs(args.out, exist_ok=True)
     for it in range(args.steps):
-        shape = sample_grid_shape(rng, data_cfg.grids)
-        if shape not in step_cache:
-            print(f"[{it}] compiling shape {shape}", flush=True)
-            step_cache[shape] = make_step(shape)
+        ft = field_types[rng.integers(len(field_types))]
+        shape = sample_grid_shape(rng, data_cfgs[ft].grids)
+        if (shape, ft) not in step_cache:
+            print(f"[{it}] compiling shape {shape} ({ft})", flush=True)
+            step_cache[(shape, ft)] = make_step(shape, ft)
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step_cache[shape](params, opt_state, sub)
+        params, opt_state, loss = step_cache[(shape, ft)](params, opt_state, sub)
         running.append(float(loss))
         if (it + 1) % 200 == 0:
             window = float(np.mean(running[-200:]))
@@ -178,9 +192,19 @@ def main():
     metrics = {"train_field_type": args.field_type,
                "final_train_loss": float(np.mean(running[-200:])),
                "checkpoint": final}
+    model_j20 = PCNN(
+        PCNNConfig(
+            hpnn=hdemo.BIG_MODEL, dbcnn=ddemo.MODEL,
+            hpnn_scale_mode="match_peak_laplacian", jacobi_iterations=20,
+        )
+    )
     for ft in ("series", "coarse_noise"):
         metrics[f"eval_{ft}"] = evaluate(model, params, ft)
         print(ft, metrics[f"eval_{ft}"], flush=True)
+        # the reference PCNN's jacobi_iterations cleanup path
+        # (models/Poisson_CNN_Legacy.py:11,48-49) — same params, 20 sweeps
+        metrics[f"eval_{ft}_jacobi20"] = evaluate(model_j20, params, ft)
+        print(f"{ft}+j20", metrics[f"eval_{ft}_jacobi20"], flush=True)
     with open(os.path.join(args.out, "eval.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics))

@@ -130,6 +130,43 @@ def test_cnn_pressure_initializer_hook():
     assert float(jnp.abs(div).max()) < 1e-3
 
 
+def test_cnn_initializer_energy_amplitude():
+    """amplitude='energy' is the Galerkin projection onto span{prediction}:
+    when the prediction is exactly proportional to the true solution, the
+    energy-optimal scale recovers the FULL amplitude (discrete summation by
+    parts makes s* exact for the FD-exact DCT solution), unlike 'lstsq' whose
+    1/dx^2 high-frequency amplification was the round-2 warm-start killer."""
+    import types
+
+    grid = ns2d.MACGrid(32, 32, 0.0, math.pi, 0.0, math.pi)
+    solve = ns2d.dct_pressure_solver(grid)
+    key = jax.random.PRNGKey(3)
+    # smooth random rhs, zero mean (Neumann solvability)
+    x = jnp.linspace(0, math.pi, 32)
+    X, Y = jnp.meshgrid(x, x, indexing="ij")
+    rhs = jnp.cos(X) * jnp.cos(2 * Y) + 0.3 * jnp.cos(3 * X) * jnp.cos(Y)
+    exact = solve(rhs)
+    exact = exact - jnp.mean(exact)
+
+    # a "model" that predicts the exact solution SHAPE but scaled 10x off
+    def apply(params, r, dx):
+        return 10.0 * solve(r[0, :, :, 0])[None, :, :, None]
+
+    fake = types.SimpleNamespace(apply=apply)
+    init = ns2d.cnn_pressure_initializer(fake, None, grid, amplitude="energy")
+    guess = init(rhs)
+    err = float(jnp.linalg.norm(guess - exact) / jnp.linalg.norm(exact))
+    assert err < 1e-3, err
+
+    # smooth_factor path stays finite and close (smoothing loses a little)
+    init_s = ns2d.cnn_pressure_initializer(
+        fake, None, grid, amplitude="energy", smooth_factor=4
+    )
+    gs = init_s(rhs)
+    errs = float(jnp.linalg.norm(gs - exact) / jnp.linalg.norm(exact))
+    assert bool(jnp.isfinite(gs).all()) and errs < 0.35, errs
+
+
 def test_periodic_forcing_problems_linearized():
     """Forced linearized-NS problems track their exact solutions
     (reference structure.py:306-347 capability)."""
