@@ -95,12 +95,19 @@ def iters_to_tol(hist, tol):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--checkpoint", default="checkpoints/hpnn_neumann/step_12000")
+    p.add_argument("--checkpoint",
+                   default="checkpoints/hpnn_neumann_inloop/step_4000")
     p.add_argument("--grid", type=int, default=100)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--dt", type=float, default=2.5e-4)
     p.add_argument("--cg_iters", type=int, default=4)
     p.add_argument("--n_snapshots", type=int, default=8)
+    p.add_argument("--amplitude", default="energy",
+                   help="'energy' (round-3 fix: Galerkin-optimal scale, no "
+                   "1/dx^2 HF amplification) or 'lstsq' (round-2 mode)")
+    p.add_argument("--smooth-factor", type=int, default=4)
+    p.add_argument("--conv-grids", type=int, nargs="+", default=[32, 64, 128],
+                   help="grids for the CNN-solver Taylor convergence study")
     p.add_argument("--out", default="/root/repo/checkpoints/ns_cnn_results.json")
     args = p.parse_args()
 
@@ -114,14 +121,15 @@ def main():
         jnp.full((1, 2), grid.dx),
     )
     params, _ = restore_checkpoint(os.path.abspath(args.checkpoint), params)
-    # lstsq amplitude: residual-minimizing scale, self-guarding on
-    # out-of-distribution / noise-floor RHS fields (scale -> 0)
-    init = ns2d.cnn_pressure_initializer(model, params, grid)
-    # guarded variant for the tightly-budgeted in-loop solve: k=4 CG iterations
-    # cannot clean the prediction's high-frequency error before it feeds back
-    # through the projection, so gate the warm start to significant-RHS steps
-    # (round-1 finding; the reference itself ships with its CNN start disabled,
-    # `solvers.py:244-267`)
+
+    def make_init(g):
+        return ns2d.cnn_pressure_initializer(
+            model, params, g, amplitude=args.amplitude,
+            smooth_factor=args.smooth_factor,
+        )
+
+    init = make_init(grid)
+    # round-2's guarded lstsq variant, kept as a comparison row
     init_guarded = ns2d.cnn_pressure_initializer(
         model, params, grid, noise_floor=0.5
     )
@@ -189,18 +197,66 @@ def main():
             print(pname, row, flush=True)
         savings[pname] = rows
     results["iteration_savings"] = savings
-    results["summary"] = (
-        "Negative result, quantified: the CNN warm start does not pay inside "
-        "the projection loop. Its prediction error is broad-spectrum, so CG "
-        "residual tolerances are reached in the same iterations as a zero "
-        "start (iteration_savings tables), and with a tight k-iteration "
-        "budget the uncleaned high-frequency error feeds back through the "
-        "projection until the run diverges (finite: false rows). This matches "
-        "the reference shipping with its CNN start commented out "
-        "(solvers.py:244-267). The CNN pays as a standalone direct solver on "
-        "in-distribution RHS (scripts/cnn_accelerated_solve.py: raw guess "
-        "beats 80 zero-init CG iterations)."
-    )
+
+    # --- 3. CNN + k-iteration CG as THE pressure solver: Taylor convergence ---
+    # (VERDICT round-2 alternative criterion: the hybrid solver must hold the
+    # scheme's 2nd-order grid convergence, not just save iterations)
+    k = args.cg_iters
+    conv = {}
+    for sname, make_solver in [
+        (f"cg{k}_zero", lambda g: ns2d.cg_pressure_solver(g, k)),
+        (f"cg{k}_cnn", lambda g: ns2d.cg_pressure_solver(g, k, make_init(g))),
+        ("exact_dct", lambda g: None),
+    ]:
+        errs = []
+        for m in args.conv_grids:
+            g = ns2d.MACGrid(m, m, 0.0, math.pi, 0.0, math.pi)
+            prob = ns2d.taylor_vortex(Re=1.0)
+            cfg = ns2d.NSConfig(method="alg1", Re=1.0, dt=args.dt, n_steps=40,
+                                helmholtz_iterations=80)
+            u, v, pf = ns2d.run(g, prob, cfg, make_solver(g))
+            e = ns2d.velocity_error(u, v, g, prob, cfg.t0 + 40 * args.dt)["u"]["l2"]
+            errs.append(e if np.isfinite(e) else None)
+        ok = [e for e in errs if e is not None]
+        conv[sname] = {
+            "grids": list(args.conv_grids), "u_l2": errs,
+            "rate": (ns2d.convergence_rates(args.conv_grids, errs)
+                     if len(ok) == len(errs) else None),
+        }
+        print("convergence", sname, conv[sname], flush=True)
+    results["solver_convergence"] = conv
+
+    # data-driven summary (round 2's hardcoded negative-result text replaced:
+    # the numbers now speak for themselves either way)
+    def mean_over(rows, key):
+        vals = [r[key] for r in rows if r.get(key) is not None]
+        return float(np.mean(vals)) if vals else None
+
+    def savings_pct(rows, tol):
+        pairs = [
+            (r[f"iters_zero_tol{tol:g}"], r[f"iters_cnn_tol{tol:g}"])
+            for r in rows
+            if r.get(f"iters_zero_tol{tol:g}") and r.get(f"iters_cnn_tol{tol:g}")
+        ]
+        if not pairs:
+            return None
+        z = sum(a for a, _ in pairs)
+        return round(100.0 * (z - sum(b for _, b in pairs)) / z, 1)
+
+    results["summary"] = {
+        "amplitude_mode": args.amplitude,
+        "mean_cnn_field_rel_l2": {
+            p_: mean_over(rows, "cnn_field_rel_l2") for p_, rows in savings.items()
+        },
+        "cg_iteration_savings_pct_tol1e-3": {
+            p_: savings_pct(rows, 1e-3) for p_, rows in savings.items()
+        },
+        "cg_iteration_savings_pct_tol1e-2": {
+            p_: savings_pct(rows, 1e-2) for p_, rows in savings.items()
+        },
+        "cnn_solver_taylor_rate": conv[f"cg{k}_cnn"]["rate"],
+        "zero_solver_taylor_rate": conv[f"cg{k}_zero"]["rate"],
+    }
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
