@@ -1,0 +1,144 @@
+"""Re-score every shipped HPNN-family artifact on the OUT-OF-FAMILY protocol
+(round-3 VERDICT #9: the coarse-noise column becomes standard for every
+artifact, not just the PCNN).
+
+Protocol: `evaluation.evaluate_hpnn_coarse_noise` — random uniform noise on a
+coarse control grid, bicubic supersampled (the reference's own training
+distribution, `poisson_CNN/dataset/generators/numerical.py:10-35` capability),
+homogeneous Dirichlet, spectral FD ground truth — evaluated at each artifact's
+own grid regime. In-family numbers live in each artifact's eval.json; this
+writes the second column to checkpoints/coarse_noise_rescore.json and is the
+source for PARITY.md's out-of-family column.
+
+Usage: python scripts/rescore_artifacts.py [--only name ...]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+
+from poisson_cnn_tpu.evaluation import evaluate_hpnn_coarse_noise
+from poisson_cnn_tpu.models import HPNN, HPNNConfig
+from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, load_fast_config
+from poisson_cnn_tpu.train.loop import restore_checkpoint
+
+CKPT = "/root/repo/checkpoints"
+
+# regimes: grid shapes + dx range + control-grid range for the noise fields
+REGIMES = {
+    "small": dict(grid_shapes=((97, 97), (65, 129)), dx_range=(5e-3, 5e-2)),
+    "mid": dict(grid_shapes=((257, 257), (321, 257)), dx_range=(5e-3, 5e-2),
+                batch_size=16),
+    "xl": dict(grid_shapes=((385, 385), (513, 385)), dx_range=(2e-3, 8e-3),
+               batch_size=8),
+}
+
+
+def fast(name, step, regime):
+    def build():
+        cfg = load_fast_config(os.path.join(CKPT, name, "config.json"))
+        model = HPNNFast(cfg)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = model.init(
+                jax.random.PRNGKey(0), jnp.ones((1, 97, 97, 1)),
+                jnp.full((1, 1), 0.01),
+            )
+        params, _ = restore_checkpoint(os.path.join(CKPT, name, step), params)
+        params = jax.device_put(params, jax.devices()[0])
+        return jax.jit(lambda rhs, dx: model.apply(params, rhs, dx))
+
+    return build, regime
+
+
+def hpnn_from_config(name, step, regime):
+    def build():
+        with open(os.path.join(CKPT, name, "config.json")) as f:
+            d = json.load(f)["model"]
+        for k, v in list(d.items()):
+            if isinstance(v, list):
+                d[k] = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        model = HPNN(HPNNConfig(**d))
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = model.init(
+                jax.random.PRNGKey(0), jnp.ones((1, 97, 97, 1)),
+                jnp.full((1, 1), 0.01),
+            )
+        params, _ = restore_checkpoint(os.path.join(CKPT, name, step), params)
+        params = jax.device_put(params, jax.devices()[0])
+        return jax.jit(lambda rhs, dx: model.apply(params, rhs, dx))
+
+    return build, regime
+
+
+def hpnn_demo_big(step="step_25000", regime="small"):
+    def build():
+        import train_hpnn_demo as hdemo
+
+        model = HPNN(hdemo.BIG_MODEL)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = model.init(
+                jax.random.PRNGKey(0), jnp.ones((1, 97, 97, 1)),
+                jnp.full((1, 1), 0.01),
+            )
+        params, _ = restore_checkpoint(
+            os.path.join(CKPT, "hpnn_demo_big", step), params
+        )
+        params = jax.device_put(params, jax.devices()[0])
+        return jax.jit(lambda rhs, dx: model.apply(params, rhs, dx))
+
+    return build, regime
+
+
+ARTIFACTS = {
+    "hpnn_fast": fast("hpnn_fast", "step_12000", "small"),
+    "hpnn_fast_256": fast("hpnn_fast_256", "step_10000", "mid"),
+    "hpnn_fast_512": fast("hpnn_fast_512", "step_8000", "xl"),
+    "hpnn_fast_fullrange": fast("hpnn_fast_fullrange", "step_30000", "small"),
+    "hpnn_fast_fullrange@mid": fast("hpnn_fast_fullrange", "step_30000", "mid"),
+    "hpnn_demo_big": hpnn_demo_big(),
+    "hpnn_flagship": hpnn_from_config("hpnn_flagship", "step_8000", "mid"),
+    "hpnn_refgrid_big": hpnn_from_config("hpnn_refgrid_big", "step_4000", "mid"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--out", default=os.path.join(CKPT, "coarse_noise_rescore.json"))
+    args = ap.parse_args()
+    out = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+    for name, (build, regime) in ARTIFACTS.items():
+        if args.only and name not in args.only:
+            continue
+        apply_fn = build()
+        kw = dict(REGIMES[regime])
+        out[name] = {"regime": regime, **evaluate_hpnn_coarse_noise(apply_fn, **kw)}
+        print(name, json.dumps(out[name]), flush=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
