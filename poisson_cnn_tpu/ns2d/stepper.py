@@ -67,10 +67,20 @@ def dct_pressure_solver(grid: MACGrid):
 
 
 def cg_pressure_solver(grid: MACGrid, n_iterations: int = 200,
-                       initializer: Optional[Callable] = None):
+                       initializer: Optional[Callable] = None,
+                       pre_smooth_iterations: int = 0):
     """Matrix-free CG on the cell-centered Neumann Poisson problem, optionally
     warm-started (e.g. by a trained HPNN — the reference's `maxiter=2` BiCGStab
-    from a CNN initial guess, `solvers.py:262-267`)."""
+    from a CNN initial guess, `solvers.py:262-267`).
+
+    pre_smooth_iterations (> 0): damped-Jacobi sweeps (omega=0.8, exact
+    variable Neumann diagonal) applied to the initial guess before CG — the
+    two-grid pairing for CNN warm starts: the network supplies the smooth
+    (CG-slowest) part of the solution, the smoother repairs the
+    high-frequency residual the network (or its low-pass) cannot represent,
+    so the tight k-iteration in-loop budget starts from a start that is both
+    low-residual and low-field-error. One sweep costs one operator
+    application, same as one CG iteration — budget accounting stays honest."""
 
     def neg_lap(p):
         # CG needs an SPD operator: use -lap (positive semidefinite on the
@@ -81,10 +91,25 @@ def cg_pressure_solver(grid: MACGrid, n_iterations: int = 200,
             + (pc[1:-1, 2:] - 2 * p + pc[1:-1, :-2]) / grid.dy**2
         )
 
+    # diagonal of -lap with edge (Neumann ghost) padding: boundary cells lose
+    # one neighbor per adjacent wall
+    m, n = grid.m, grid.n
+    ddx = jnp.full((m, n), 2.0).at[0, :].add(-1.0).at[-1, :].add(-1.0)
+    ddy = jnp.full((m, n), 2.0).at[:, 0].add(-1.0).at[:, -1].add(-1.0)
+    diag = ddx / grid.dx**2 + ddy / grid.dy**2
+
     def solve(rhs: jax.Array) -> jax.Array:
-        rhs = -(rhs - jnp.mean(rhs))  # solvability + sign flip for SPD CG
+        rhs = rhs - jnp.mean(rhs)  # Neumann solvability projection
+        # the initializer approximates the solution of lap(phi) = rhs, so it
+        # must see the PHYSICAL rhs — the SPD sign flip below is internal to
+        # CG. (Round-3 fix: passing the negated rhs here handed CG an
+        # anti-correlated start, x0 ~= -solution, error ~2.0 — one root cause
+        # of the round-2 "warm starts save nothing" negative result.)
         x = jnp.zeros_like(rhs) if initializer is None else initializer(rhs)
+        rhs = -rhs  # sign flip for the SPD operator -lap
         x = x - jnp.mean(x)
+        for _ in range(pre_smooth_iterations):
+            x = x + 0.8 * (rhs - neg_lap(x)) / diag
         r = rhs - neg_lap(x)
         p = r
         rs = jnp.sum(r * r)

@@ -141,14 +141,21 @@ def main():
         "taylor": (ns2d.taylor_vortex(Re=1.0), 1.0),
         "driven_cavity": (ns2d.driven_cavity(lid_velocity=1.0, y_top=math.pi), 100.0),
     }
+    k = args.cg_iters
     for pname, (problem, Re) in problems.items():
         table = {}
         for sname, solver in [
             ("exact_dct", None),
-            (f"cg{args.cg_iters}_zero", ns2d.cg_pressure_solver(grid, args.cg_iters)),
-            (f"cg{args.cg_iters}_cnn", ns2d.cg_pressure_solver(grid, args.cg_iters, init)),
-            (f"cg{args.cg_iters}_cnn_guarded",
-             ns2d.cg_pressure_solver(grid, args.cg_iters, init_guarded)),
+            (f"cg{k}_zero", ns2d.cg_pressure_solver(grid, k)),
+            # equal-operator-budget zero baseline for the presmoothed CNN row
+            (f"cg{k+2}_zero", ns2d.cg_pressure_solver(grid, k + 2)),
+            (f"cg{k}_cnn", ns2d.cg_pressure_solver(grid, k, init)),
+            # two-grid pairing: CNN (smooth part) + 2 damped-Jacobi sweeps
+            # (high-frequency residual) + k CG iterations = k+2 applies
+            (f"cg{k}_cnn_presmooth2",
+             ns2d.cg_pressure_solver(grid, k, init, pre_smooth_iterations=2)),
+            (f"cg{k}_cnn_guarded_lstsq",
+             ns2d.cg_pressure_solver(grid, k, init_guarded)),
         ]:
             cfg = ns2d.NSConfig(method="alg1", Re=Re, dt=args.dt,
                                 n_steps=args.steps, helmholtz_iterations=80)
@@ -200,12 +207,19 @@ def main():
 
     # --- 3. CNN + k-iteration CG as THE pressure solver: Taylor convergence ---
     # (VERDICT round-2 alternative criterion: the hybrid solver must hold the
-    # scheme's 2nd-order grid convergence, not just save iterations)
-    k = args.cg_iters
+    # scheme's 2nd-order grid convergence, not just save iterations). The
+    # CNN rows use the two-grid pairing (presmooth 2); zero rows get the same
+    # total operator budget (k+2 plain CG iterations).
     conv = {}
     for sname, make_solver in [
-        (f"cg{k}_zero", lambda g: ns2d.cg_pressure_solver(g, k)),
-        (f"cg{k}_cnn", lambda g: ns2d.cg_pressure_solver(g, k, make_init(g))),
+        (f"cg{k+2}_zero", lambda g: ns2d.cg_pressure_solver(g, k + 2)),
+        (f"cg{k}_cnn_presmooth2",
+         lambda g: ns2d.cg_pressure_solver(g, k, make_init(g),
+                                           pre_smooth_iterations=2)),
+        (f"cg{2*k+2}_zero", lambda g: ns2d.cg_pressure_solver(g, 2 * k + 2)),
+        (f"cg{2*k}_cnn_presmooth2",
+         lambda g: ns2d.cg_pressure_solver(g, 2 * k, make_init(g),
+                                           pre_smooth_iterations=2)),
         ("exact_dct", lambda g: None),
     ]:
         errs = []
@@ -254,8 +268,10 @@ def main():
         "cg_iteration_savings_pct_tol1e-2": {
             p_: savings_pct(rows, 1e-2) for p_, rows in savings.items()
         },
-        "cnn_solver_taylor_rate": conv[f"cg{k}_cnn"]["rate"],
-        "zero_solver_taylor_rate": conv[f"cg{k}_zero"]["rate"],
+        "cnn_solver_taylor_rate": conv[f"cg{k}_cnn_presmooth2"]["rate"],
+        "zero_solver_taylor_rate": conv[f"cg{k+2}_zero"]["rate"],
+        "cnn_solver_taylor_rate_2k": conv[f"cg{2*k}_cnn_presmooth2"]["rate"],
+        "zero_solver_taylor_rate_2k": conv[f"cg{2*k+2}_zero"]["rate"],
     }
 
     with open(args.out, "w") as f:

@@ -166,6 +166,21 @@ def test_cnn_initializer_energy_amplitude():
     errs = float(jnp.linalg.norm(gs - exact) / jnp.linalg.norm(exact))
     assert bool(jnp.isfinite(gs).all()) and errs < 0.35, errs
 
+    # two-grid pairing: damped-Jacobi presmoothing repairs the smoothed
+    # start's high-frequency gap — CG with presmooth converges to the exact
+    # solution and the presmoothed smoothed start beats the raw smoothed one
+    solver = ns2d.cg_pressure_solver(
+        grid, n_iterations=300, initializer=init_s, pre_smooth_iterations=3
+    )
+    sol = solver(rhs)
+    err_cg = float(jnp.linalg.norm(sol - exact) / jnp.linalg.norm(exact))
+    assert err_cg < 1e-3, err_cg
+    few = ns2d.cg_pressure_solver(
+        grid, n_iterations=0, initializer=init_s, pre_smooth_iterations=6
+    )(rhs)
+    err_few = float(jnp.linalg.norm(few - exact) / jnp.linalg.norm(exact))
+    assert err_few < errs, (err_few, errs)
+
 
 def test_periodic_forcing_problems_linearized():
     """Forced linearized-NS problems track their exact solutions
