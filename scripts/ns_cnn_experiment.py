@@ -268,6 +268,25 @@ def main():
         "cg_iteration_savings_pct_tol1e-2": {
             p_: savings_pct(rows, 1e-2) for p_, rows in savings.items()
         },
+        "cg_iteration_savings_pct_tol1e-1": {
+            p_: savings_pct(rows, 1e-1) for p_, rows in savings.items()
+        },
+        # CG iterations a zero start needs to reach the CNN's INSTANT field
+        # error (the projection loop consumes the field, not the residual)
+        "mean_zero_iters_to_match_cnn_field": {
+            p_: mean_over(rows, "zero_iters_to_match_cnn_field")
+            for p_, rows in savings.items()
+        },
+        # equal-budget in-loop rows (k CG iters, 100 steps): the loop-level
+        # effect the reference experiment was after (solvers.py:244-267)
+        "inloop_taylor_velocity_l2": {
+            s: results["taylor"][s].get("velocity_l2")
+            for s in results["taylor"]
+        },
+        "inloop_cavity_max_div": {
+            s: results["driven_cavity"][s].get("max_div")
+            for s in results["driven_cavity"]
+        },
         "cnn_solver_taylor_rate": conv[f"cg{k}_cnn_presmooth2"]["rate"],
         "zero_solver_taylor_rate": conv[f"cg{k+2}_zero"]["rate"],
         "cnn_solver_taylor_rate_2k": conv[f"cg{2*k}_cnn_presmooth2"]["rate"],
