@@ -76,8 +76,12 @@ def hpnn_from_config(name, step, regime):
         model = HPNN(HPNNConfig(**d))
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
+            # init at a grid large enough that the branch-scale gate keeps
+            # EVERY bottleneck branch (the big-ds branches are skipped below
+            # 2*ds, so a 97^2 init materializes fewer params than the
+            # 257-regime checkpoints carry)
             params = model.init(
-                jax.random.PRNGKey(0), jnp.ones((1, 97, 97, 1)),
+                jax.random.PRNGKey(0), jnp.ones((1, 321, 321, 1)),
                 jnp.full((1, 1), 0.01),
             )
         params, _ = restore_checkpoint(os.path.join(CKPT, name, step), params)
@@ -113,6 +117,8 @@ ARTIFACTS = {
     "hpnn_fast_512": fast("hpnn_fast_512", "step_8000", "xl"),
     "hpnn_fast_fullrange": fast("hpnn_fast_fullrange", "step_30000", "small"),
     "hpnn_fast_fullrange@mid": fast("hpnn_fast_fullrange", "step_30000", "mid"),
+    "hpnn_fast_fullrange_v2@mid": fast("hpnn_fast_fullrange_v2", "step_12000", "mid"),
+    "hpnn_fast_fullrange_v2@xl": fast("hpnn_fast_fullrange_v2", "step_12000", "xl"),
     "hpnn_demo_big": hpnn_demo_big(),
     "hpnn_flagship": hpnn_from_config("hpnn_flagship", "step_8000", "mid"),
     "hpnn_refgrid_big": hpnn_from_config("hpnn_refgrid_big", "step_4000", "mid"),
