@@ -83,8 +83,22 @@ def main():
         "--xl-grids", action="store_true",
         help="train/eval in the 384-513 regime (385/513 lattice)",
     )
+    p.add_argument(
+        "--config-json", default=None,
+        help="path to an HPNNFastConfig JSON overriding the default MODEL "
+        "(e.g. a bench_fast_sweep.py winner to be trained for its accuracy row)",
+    )
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_fast")
     args = p.parse_args()
+
+    global MODEL
+    if args.config_json:
+        with open(args.config_json) as f:
+            d = json.load(f)
+        for k in ("scale_filters", "dx_mlp_units"):
+            if k in d:
+                d[k] = tuple(d[k])
+        MODEL = HPNNFastConfig(**d)
 
     eval_shapes = ((97, 97), (65, 129))
     if args.large_grids:
