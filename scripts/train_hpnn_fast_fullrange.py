@@ -150,8 +150,22 @@ def main():
         help="fraction of steps trained on coarse-noise numerical data (the "
         "reference's training distribution) instead of reverse-mode data",
     )
+    p.add_argument(
+        "--config-json", default=None,
+        help="path to an HPNNFastConfig JSON overriding the default MODEL "
+        "(e.g. the bench config so the throughput artifact covers the range)",
+    )
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_fast_fullrange")
     args = p.parse_args()
+
+    global MODEL
+    if args.config_json:
+        with open(args.config_json) as f:
+            d = json.load(f)
+        for k in ("scale_filters", "dx_mlp_units"):
+            if k in d:
+                d[k] = tuple(d[k])
+        MODEL = HPNNFastConfig(**d)
 
     model = HPNNFast(MODEL)
     rng = np.random.default_rng(0)
