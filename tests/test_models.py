@@ -540,3 +540,34 @@ def test_hpnn_init_at_max_shape_covers_all_branch_params():
         out = model.apply(params, jnp.ones((2,) + shape + (1,)),
                           jnp.full((2, 1), 0.1))
         assert out.shape == (2,) + shape + (1,)
+
+
+def test_hpnn_fast_r8_fold_odd_grids():
+    """The benchmark config folds r=8 spatial blocks into channels before the
+    stem (`HPNNFastConfig.input_space_to_depth=8`); grids are padded up to a
+    multiple of r * 2^n_scales and cropped back, so odd reference-style sizes
+    (65x97) must come back exact-shape with exact Dirichlet boundary zeros."""
+    from poisson_cnn_tpu.models.hpnn_fast import (
+        HPNNFast, HPNNFastConfig, space_to_depth, depth_to_space,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 24, 3))
+    y = space_to_depth(x, 8)
+    assert y.shape == (2, 2, 3, 192)
+    assert jnp.allclose(depth_to_space(y, 8), x)
+
+    cfg = HPNNFastConfig(
+        input_space_to_depth=8, stem_filters=8, scale_filters=(8, 16),
+        head_filters=8, dx_mlp_units=(8,), dtype=None,
+        output_scaling="soln_max_magnitude",
+    )
+    model = HPNNFast(cfg)
+    for shape in ((65, 97), (64, 96)):
+        rhs = jax.random.normal(jax.random.PRNGKey(5), (2,) + shape + (1,))
+        dx = jnp.full((2, 1), 0.02)
+        params = model.init(jax.random.PRNGKey(6), rhs, dx)
+        out = np.asarray(model.apply(params, rhs, dx))
+        assert out.shape == rhs.shape
+        for axis in (1, 2):
+            assert np.abs(np.take(out, 0, axis=axis)).max() == 0.0
+            assert np.abs(np.take(out, -1, axis=axis)).max() == 0.0
