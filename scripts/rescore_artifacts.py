@@ -112,7 +112,8 @@ def hpnn_demo_big(step="step_25000", regime="small"):
 
 
 ARTIFACTS = {
-    "hpnn_fast": fast("hpnn_fast", "step_12000", "small"),
+    "hpnn_fast": fast("hpnn_fast", "step_12000", "small"),  # bench config (r=8, fullrange-trained)
+    "hpnn_fast_r2": fast("hpnn_fast_r2", "step_12000", "small"),
     "hpnn_fast_256": fast("hpnn_fast_256", "step_10000", "mid"),
     "hpnn_fast_512": fast("hpnn_fast_512", "step_8000", "xl"),
     "hpnn_fast_fullrange": fast("hpnn_fast_fullrange", "step_30000", "small"),
