@@ -66,6 +66,31 @@ CANDIDATES = {
         stem_filters=32, scale_filters=(64, 96, 128, 128),
         head_filters=32, **BASE,
     ),
+    # round-3 second wave, bracketing the r8_wide winner (49.7k @ 31% MFU):
+    # deeper fold — stem at n/16 with 256 input channels; highest arithmetic
+    # intensity of the family, receptive field per conv tap spans 16 px
+    "r16_wide": HPNNFastConfig(
+        input_space_to_depth=16, stem_filters=128,
+        scale_filters=(256,), head_filters=128,
+        stem_kernel_size=7, head_kernel_size=7, **BASE,
+    ),
+    "r16_slim": HPNNFastConfig(
+        input_space_to_depth=16, stem_filters=96,
+        scale_filters=(128,), head_filters=96,
+        stem_kernel_size=5, head_kernel_size=5, **BASE,
+    ),
+    # thinner r8 — ~40% FLOP cut vs r8_wide; wins if MFU holds above ~25%
+    "r8_thin": HPNNFastConfig(
+        input_space_to_depth=8, stem_filters=48,
+        scale_filters=(96, 96), head_filters=48,
+        stem_kernel_size=7, head_kernel_size=7, **BASE,
+    ),
+    # r8 with 5-tap separable stem/head (stem/head are the full-res cost)
+    "r8_k5": HPNNFastConfig(
+        input_space_to_depth=8, stem_filters=64,
+        scale_filters=(128, 128), head_filters=64,
+        stem_kernel_size=5, head_kernel_size=5, **BASE,
+    ),
 }
 
 
