@@ -47,6 +47,57 @@ _PEAK_BF16 = {
 }
 
 
+def _acquire_device(retries: int = 6, base_delay: float = 5.0):
+    """jax.devices()[0] with bounded retry-with-backoff.
+
+    The axon TPU backend occasionally fails to initialize with a transient
+    UNAVAILABLE error (this killed the round-3 driver bench run, BENCH_r03.json
+    rc=1). Each retry clears JAX's cached backend-init failure first so the
+    re-attempt actually re-initializes rather than replaying the cached error.
+    """
+    import sys
+
+    last_err = None
+    delay = base_delay
+    for attempt in range(retries):
+        try:
+            devs = jax.devices()
+            if devs:
+                return devs[0]
+        except Exception as e:  # RuntimeError("Unable to initialize backend …")
+            last_err = e
+            print(
+                f"bench: backend init attempt {attempt + 1}/{retries} failed: "
+                f"{e!r}; retrying in {delay:.0f}s",
+                file=sys.stderr,
+            )
+            try:
+                import jax.extend.backend as _jeb
+
+                _jeb.clear_backends()
+            except Exception:
+                pass
+            time.sleep(delay)
+            delay = min(delay * 2, 60.0)
+    raise RuntimeError(f"backend unavailable after {retries} attempts: {last_err!r}")
+
+
+def _emit_error_line(metric: str, err: BaseException) -> None:
+    """On unrecoverable failure print ONE parseable JSON line (instead of a
+    bare traceback) so the driver's BENCH_rN.json capture still parses."""
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": None,
+                "unit": "solves/sec",
+                "vs_baseline": None,
+                "error": f"{type(err).__name__}: {err}",
+            }
+        )
+    )
+
+
 def _peak_flops(device) -> float:
     kind = getattr(device, "device_kind", "")
     for k, v in _PEAK_BF16.items():
@@ -98,7 +149,7 @@ def bench_train(args):
         mse_weight=1.0, mae_weight=0.2, integral_weight=0.0, global_batch_size=batch
     )
     model = HPNNFast(load_fast_config())
-    dev = jax.devices()[0]
+    dev = _acquire_device()
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params = model.init(
@@ -206,7 +257,7 @@ def main():
     else:
         model = HPNNFast(load_fast_config())
 
-    dev = jax.devices()[0]
+    dev = _acquire_device()
     rhs = jnp.ones((batch, n, n, 1), dtype=jnp.float32)
     dx = jnp.full((batch, 1), 2.0 / (n - 1), dtype=jnp.float32)
     # init on CPU (avoids a second multi-minute TPU compile of the init graph)
@@ -274,6 +325,10 @@ def main():
             detail["train_samples_per_sec_chip"] = t["value"]
             detail["train_detail"] = t["detail"]
         except Exception as e:  # keep the headline even if the train leg fails
+            import sys
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
             detail["train_error"] = repr(e)
 
     print(
@@ -290,4 +345,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise  # BENCH INVALID guards must keep aborting loudly
+    except BaseException as e:
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _emit_error_line("HPNN-fast 256x256 Poisson solves/sec (single chip)", e)
