@@ -1,0 +1,420 @@
+"""Cross-validation against the TF2 reference implementation.
+
+BASELINE.md's north star includes "match TF2 reference outputs to numerical
+tolerance on identical grids/BCs/RHS". These tests feed IDENTICAL numpy inputs
+to the reference's deterministic utilities (loaded straight from
+/root/reference, executed with TensorFlow on CPU) and to the rebuild's
+JAX equivalents, and assert agreement to floating-point tolerance.
+
+The reference package root (`poisson_CNN/__init__.py`) imports pyamg and
+tensorflow_probability, which are absent in this container — so the needed
+modules are loaded individually by file path with synthetic parent packages
+(only `dataset/utils`, `dataset/solvers/cholesky.py` and
+`losses/integral_loss.py` are TF+numpy-only). Methods that live inside model
+classes (the cos positional embeddings, the normalized sinh basis) are
+extracted by AST and executed with a stub `self` — this runs the reference's
+actual code, no re-derivation involved.
+
+Everything here is deterministic: random inputs come from seeded numpy
+generators and are passed to BOTH implementations.
+"""
+
+from __future__ import annotations
+
+import ast
+import math
+import os
+import sys
+import textwrap
+import types
+from functools import lru_cache
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax.numpy as jnp  # noqa: E402
+
+REF = "/root/reference/poisson_CNN"
+
+# The reference casts through tf.keras.backend.floatx() everywhere; float64
+# gives an oracle strictly more precise than the rebuild's float32 path.
+tf.keras.backend.set_floatx("float64")
+
+
+# ---------------------------------------------------------------------------
+# reference-module loading (no pyamg/tfp: bypass the package __init__ chain)
+# ---------------------------------------------------------------------------
+
+
+def _load_module(name: str, path: str):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@lru_cache(maxsize=1)
+def ref_utils():
+    """The reference's `poisson_CNN.dataset.utils` package (TF+numpy only)."""
+    import importlib.util
+
+    for parent in ("poisson_CNN", "poisson_CNN.dataset"):
+        if parent not in sys.modules:
+            m = types.ModuleType(parent)
+            m.__path__ = []
+            sys.modules[parent] = m
+    path = os.path.join(REF, "dataset/utils")
+    spec = importlib.util.spec_from_file_location(
+        "poisson_CNN.dataset.utils",
+        os.path.join(path, "__init__.py"),
+        submodule_search_locations=[path],
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["poisson_CNN.dataset.utils"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@lru_cache(maxsize=1)
+def ref_cholesky():
+    return _load_module("_ref_cholesky", os.path.join(REF, "dataset/solvers/cholesky.py"))
+
+
+@lru_cache(maxsize=1)
+def ref_integral_loss():
+    return _load_module("_ref_integral_loss", os.path.join(REF, "losses/integral_loss.py"))
+
+
+def _extract_method(path: str, cls_name: str, meth_name: str, extra_globals: dict):
+    """Compile a single method out of a reference model file (whose module-level
+    imports need the full package) and return it as a plain function taking a
+    stub `self`. Runs the reference's own source, unmodified."""
+    src = open(path).read()
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.ClassDef) and node.name == cls_name:
+            for sub in node.body:
+                if isinstance(sub, ast.FunctionDef) and sub.name == meth_name:
+                    seg = textwrap.dedent(ast.get_source_segment(src, sub))
+                    ns = dict(tf=tf, math=math, np=np, **extra_globals)
+                    exec(compile(seg, path, "exec"), ns)
+                    return ns[meth_name]
+    raise KeyError(f"{cls_name}.{meth_name} not found in {path}")
+
+
+def rel_err(a, b):
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    return np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-300)
+
+
+# ---------------------------------------------------------------------------
+# tensor utilities
+# ---------------------------------------------------------------------------
+
+
+def test_split_indices_matches_reference():
+    """`layers.core._bin_edges` vs `dataset/utils/split_indices.py:4-26`."""
+    from poisson_cnn_tpu.layers.core import _bin_edges
+
+    for n, bins in [(229, 4), (10, 3), (7, 7), (64, 5), (13, 2)]:
+        ref = ref_utils().split_indices(tf.constant(n), tf.constant(bins)).numpy()
+        assert _bin_edges(n, bins) == list(ref), (n, bins)
+
+
+def test_equal_split_tensor_slice_matches_reference():
+    """SPP bin extraction vs `dataset/utils/equal_split_tensor_slice.py:39-57`."""
+    from poisson_cnn_tpu.layers.core import _bin_edges
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 10, 13))
+    n_bins = (3, 4)
+    e0 = _bin_edges(10, n_bins[0])
+    e1 = _bin_edges(13, n_bins[1])
+    for i in range(n_bins[0]):
+        for j in range(n_bins[1]):
+            ref = (
+                ref_utils()
+                .equal_split_tensor_slice(
+                    tf.constant(x), tf.constant([i, j]), tf.constant(n_bins), 2
+                )
+                .numpy()
+            )
+            ours = x[..., e0[i] : e0[i + 1], e1[j] : e1[j + 1]]
+            np.testing.assert_array_equal(ref, ours)
+
+
+def test_flip_and_rotate_matches_reference():
+    """`ops.rotate.rot90/flip` vs `dataset/utils/flip_and_rotate_tensor.py:4-47`
+    (NCHW reference input transposed to the rebuild's NHWC)."""
+    from poisson_cnn_tpu.ops.rotate import flip, rot90
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 1, 4, 5)).astype(np.float32)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    for k in range(4):
+        ref = (
+            ref_utils()
+            .flip_and_rotate_tensor(tf.constant(x), rotation_axis=4, rotation_count=k)
+            .numpy()
+        )
+        ours = np.transpose(np.asarray(rot90(x_nhwc, k)), (0, 3, 1, 2))
+        np.testing.assert_array_equal(ref, ours), f"rotation_count={k}"
+    # flips: reference NCHW axes 2/3 == rebuild spatial axes 0/1
+    for ref_axis, our_axis in [(2, 0), (3, 1)]:
+        ref = (
+            ref_utils()
+            .flip_and_rotate_tensor(tf.constant(x), rotation_count=0, flip_axes=[ref_axis])
+            .numpy()
+        )
+        ours = np.transpose(np.asarray(flip(x_nhwc, our_axis)), (0, 3, 1, 2))
+        np.testing.assert_array_equal(ref, ours)
+
+
+def test_set_max_magnitude_matches_reference():
+    """`ops.magnitude` vs `dataset/utils/set_max_magnitude.py:3-50`."""
+    from poisson_cnn_tpu.ops.magnitude import (
+        set_max_magnitude_in_batch,
+        set_max_magnitude_in_batch_and_return_scaling_factors,
+    )
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 1, 6, 7))
+    ref = ref_utils().set_max_magnitude_in_batch(tf.constant(x), 1.0).numpy()
+    ours = np.asarray(set_max_magnitude_in_batch(jnp.asarray(x), 1.0))
+    assert rel_err(ours, ref) < 1e-6
+
+    ref_arr, ref_fac = ref_utils().set_max_magnitude_in_batch_and_return_scaling_factors(
+        tf.constant(x), 2.5
+    )
+    ours_arr, ours_fac = set_max_magnitude_in_batch_and_return_scaling_factors(
+        jnp.asarray(x), 2.5
+    )
+    assert rel_err(np.asarray(ours_arr), ref_arr.numpy()) < 1e-6
+    assert rel_err(np.asarray(ours_fac), ref_fac.numpy()) < 1e-6
+
+
+def test_compute_domain_sizes_matches_reference():
+    """`ops.grids.compute_domain_sizes` vs `dataset/utils/compute_domain_sizes.py:4-6`."""
+    from poisson_cnn_tpu.ops.grids import compute_domain_sizes
+
+    dx = np.array([[0.01, 0.02], [0.05, 0.03]])
+    shape = (65, 129)
+    ref = (
+        ref_utils()
+        .compute_domain_sizes(tf.constant(dx), tf.constant(shape, dtype=tf.int32))
+        .numpy()
+    )
+    ours = np.asarray(compute_domain_sizes(jnp.asarray(dx, dtype=jnp.float32), shape))
+    assert rel_err(ours, ref) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# finite-difference machinery
+# ---------------------------------------------------------------------------
+
+
+def test_fd_coefficients_match_reference():
+    """`ops.fd.fd_coefficients` vs `dataset/utils/get_fd_coefficients.py:4-19`."""
+    from poisson_cnn_tpu.ops.fd import fd_coefficients
+
+    for positions, order in [
+        ([-1, 0, 1], 2),
+        ([-2, -1, 0, 1, 2], 2),
+        ([-3, -2, -1, 0, 1, 2, 3], 2),
+        ([-1, 0, 1], 1),
+        ([-2, -1, 0, 1, 2], 4),
+    ]:
+        ref = ref_utils().get_fd_coefficients(list(positions), order)
+        ours = fd_coefficients(positions, order)
+        assert rel_err(ours, ref) < 1e-10, (positions, order)
+
+
+def test_build_fd_stencil_matches_reference():
+    """`ops.fd.build_fd_stencil` vs `dataset/utils/build_fd_coefficients.py:5-42`
+    (same (ndims, *stencil) layout with per-direction contributions separate)."""
+    from poisson_cnn_tpu.ops.fd import build_fd_stencil
+
+    for sizes, orders in [([5, 5], [2, 2]), ([3, 5], [2, 2]), ([3, 3, 5], [2, 2, 2])]:
+        ref = ref_utils().build_fd_coefficients(list(sizes), list(orders))
+        ours = build_fd_stencil(sizes, orders)
+        assert rel_err(ours, ref) < 1e-10, (sizes, orders)
+
+
+def test_poisson_lhs_matrix_matches_reference():
+    """`ops.fd.poisson_lhs_matrix` vs the reference 5-point system matrix
+    (`dataset/solvers/cholesky.py:9-41`, itself validated against pyamg in
+    `dataset/utils/poisson_lhs_matrix.py:202-213`). The reference's
+    `poisson_matrix(m, n)` is the NEGATED, dx-factored-out operator with
+    column-major interior ordering; map conventions explicitly."""
+    from poisson_cnn_tpu.ops.fd import poisson_lhs_matrix
+
+    m, n = 7, 9
+    ref = ref_cholesky().poisson_matrix(m, n)  # ((m-2)(n-2))², h factored out
+    ours = poisson_lhs_matrix((m, n), (1.0, 1.0))  # row-major over (m-2, n-2)
+    # reorder ours from row-major (q = i*(n-2)+j) to the reference's Fortran
+    # ordering (p = j*(m-2)+i, per the docstring's reshape instruction)
+    mi, ni = m - 2, n - 2
+    p_to_q = np.array([(p % mi) * ni + (p // mi) for p in range(mi * ni)])
+    reordered = ours[np.ix_(p_to_q, p_to_q)]
+    assert rel_err(-reordered, ref) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# model math: positional embeddings, sinh basis
+# ---------------------------------------------------------------------------
+
+
+def test_cos_position_embeddings_match_reference():
+    """`ops.grids.cos_position_embeddings` vs the reference's
+    `generate_position_embeddings` (`models/Homogeneous_Poisson_NN_Legacy.py:172-180`),
+    extracted by AST and executed with a stub self."""
+    from poisson_cnn_tpu.ops.grids import cos_position_embeddings
+
+    f = _extract_method(
+        os.path.join(REF, "models/Homogeneous_Poisson_NN_Legacy.py"),
+        "Homogeneous_Poisson_NN_Legacy",
+        "generate_position_embeddings",
+        {},
+    )
+    self = types.SimpleNamespace(ndims=2, data_format="channels_first")
+    ref = f(self, tf.constant(3), tf.constant([7, 9])).numpy()  # (3, 2, 7, 9)
+    ours = np.asarray(cos_position_embeddings((7, 9)))  # (7, 9, 2)
+    ours_nchw = np.transpose(ours, (2, 0, 1))[None].repeat(3, axis=0)
+    assert rel_err(ours_nchw, ref) < 1e-6
+
+
+def test_sinh_basis_matches_reference():
+    """`models.dbcnn.stable_sinh_modes` vs the reference's
+    `build_series_x_dir_components` (`models/Dirichlet_BC_NN_Legacy.py:106-112`)."""
+    from poisson_cnn_tpu.models.dbcnn import stable_sinh_modes
+
+    g = _extract_method(
+        os.path.join(REF, "models/Dirichlet_BC_NN_Legacy.py"),
+        "Dirichlet_BC_NN_Legacy_2",
+        "build_series_x_dir_components",
+        dict(set_max_magnitude_in_batch=ref_utils().set_max_magnitude_in_batch),
+    )
+    self = types.SimpleNamespace(x_dir_nmodes=20)
+    ref = g(self, tf.constant(33)).numpy()  # (20, 33)
+    ours = np.asarray(stable_sinh_modes(20, 33))
+    assert ours.shape == ref.shape
+    assert rel_err(ours, ref) < 2e-5  # rebuild evaluates the basis in float32
+
+
+def test_smooth_function_matches_reference():
+    """`ops.smooth.synthesize_series` vs the reference's
+    `generate_smooth_function` (`dataset/utils/generate_smooth_function.py:5-84`)
+    with EXPLICIT coefficients (deterministic)."""
+    from poisson_cnn_tpu.ops.smooth import synthesize_series
+
+    rng = np.random.default_rng(3)
+    grid = (17, 21)
+    modes = (4, 5)
+    sin_c = rng.uniform(-1, 1, size=modes)
+    cos_c = rng.uniform(-1, 1, size=modes)
+
+    # sine-only (homogeneous Dirichlet)
+    ref = (
+        ref_utils()
+        .generate_smooth_function(2, tf.constant(grid), tf.constant(sin_c), homogeneous_bc=True)
+        .numpy()
+    )
+    ours = np.asarray(
+        synthesize_series(jnp.asarray(sin_c, jnp.float32)[None], None, grid)
+    )[0]
+    assert rel_err(ours, ref) < 1e-5
+
+    # mixed sine+cosine
+    ref = (
+        ref_utils()
+        .generate_smooth_function(
+            2, tf.constant(grid), tf.constant(np.stack([sin_c, cos_c], 0))
+        )
+        .numpy()
+    )
+    ours = np.asarray(
+        synthesize_series(
+            jnp.asarray(sin_c, jnp.float32)[None], jnp.asarray(cos_c, jnp.float32)[None], grid
+        )
+    )[0]
+    assert rel_err(ours, ref) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# quadrature + ground-truth solver
+# ---------------------------------------------------------------------------
+
+
+def test_integral_loss_matches_reference():
+    """`ops.quadrature.integral_lp_error` vs the reference `integral_loss`
+    (`losses/integral_loss.py:80-179`) on the reference's own self-test field:
+    integral of (xyz)^(2/3) over [0,1]x[0,2]x[1,3.5] (analytic value 4.84711)."""
+    from poisson_cnn_tpu.ops.quadrature import integral_lp_error
+
+    x = np.linspace(0.0, 1.0, 60)
+    y = np.linspace(0.0, 2.0, 70)
+    z = np.linspace(1.0, 3.5, 65)
+    t = (np.einsum("i,j,k->ijk", x, y, z) ** (1.0 / 3.0))[None, None]  # NC...
+    dx = np.array([[x[1] - x[0], y[1] - y[0], z[1] - z[0]]])
+
+    loss = ref_integral_loss().integral_loss((25, 13, 28), ndims=3)
+    ref = loss(tf.constant(t), [tf.constant(np.zeros_like(t)), tf.constant(dx)]).numpy()[0, 0]
+
+    domain_sizes = jnp.asarray([[1.0, 2.0, 2.5]], jnp.float32)
+    t_nhwc = jnp.asarray(np.transpose(t, (0, 2, 3, 4, 1)), jnp.float32)
+    ours = np.asarray(
+        integral_lp_error(t_nhwc, jnp.zeros_like(t_nhwc), domain_sizes, (25, 13, 28), p=2)
+    )[0, 0]
+
+    true_val = 4.84711
+    assert abs(ref - true_val) / true_val < 0.01
+    assert abs(ours - true_val) / true_val < 0.01
+    assert abs(ours - ref) / abs(ref) < 5e-3  # same multilinear+GL construction
+
+
+def test_cholesky_solve_matches_reference():
+    """`solvers.direct.cholesky_poisson_solve` vs the reference's
+    `cholesky_poisson_solve` (`dataset/solvers/cholesky.py:122-186`) on a 17^2
+    Dirichlet problem with all four boundaries nonzero.
+
+    Convention mapping (established against the reference's output): the
+    reference's last two axes are (x0, x1) with left=u[0,:], right=u[-1,:],
+    bottom=u[:,0], top=u[:,-1]; the rebuild places 'top' at index 0 of axis 1.
+    Corners differ by assignment order, so they are excluded."""
+    from poisson_cnn_tpu.solvers.direct import cholesky_poisson_solve
+    from poisson_cnn_tpu.solvers.spectral import poisson_solve
+
+    rng = np.random.default_rng(4)
+    m = n = 17
+    h = 0.05
+    rhs = rng.standard_normal((1, 1, m, n))
+    bnd = {k: rng.standard_normal((1, n)) for k in ("left", "right", "top", "bottom")}
+
+    ref = (
+        ref_cholesky()
+        .cholesky_poisson_solve(
+            tf.constant(rhs), {k: tf.constant(v) for k, v in bnd.items()}, h
+        )
+        .numpy()[0, 0]
+    )
+
+    rhs_nhwc = jnp.asarray(rhs[:, 0, :, :, None], jnp.float32)
+    dx = jnp.full((1, 2), h, jnp.float32)
+    ours_bnd = {
+        "left": jnp.asarray(bnd["left"], jnp.float32)[:, :, None],
+        "right": jnp.asarray(bnd["right"], jnp.float32)[:, :, None],
+        "top": jnp.asarray(bnd["bottom"], jnp.float32)[:, :, None],
+        "bottom": jnp.asarray(bnd["top"], jnp.float32)[:, :, None],
+    }
+    for solver in (cholesky_poisson_solve, poisson_solve):
+        ours = np.asarray(solver(rhs_nhwc, dx, ours_bnd))[0, :, :, 0]
+        interior = np.ones((m, n), dtype=bool)
+        for c in [(0, 0), (0, -1), (-1, 0), (-1, -1)]:
+            interior[c] = False
+        err = np.max(np.abs(ours - ref)[interior]) / np.max(np.abs(ref))
+        assert err < 1e-4, solver.__name__
