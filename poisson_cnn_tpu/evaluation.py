@@ -75,6 +75,13 @@ def evaluate_hpnn_coarse_noise(
     (rhs -> unit peak pair-consistently, then soln -> unit peak) so bounded
     unit-peak-output models are scored on field shape, like their in-family
     numbers.
+
+    WARNING: normalize_like_training=True re-peaks the solution AFTER the
+    pair-consistent rhs scaling, which breaks lap(soln)=rhs consistency — it is
+    only valid for unit-peak-output models (output_scaling='soln_max_magnitude',
+    true of every in-repo artifact). For a physically-scaled model (e.g.
+    match_peak_laplacian), pass normalize_like_training=False and score against
+    the raw solver solution.
     """
     from .data import GridSamplingConfig
     from .data.numerical import NumericalConfig, generate_numerical_batch

@@ -10,4 +10,5 @@ from .spatial import (
     jacobi_smooth_spatial,
     conjugate_gradient_spatial,
     spatial_sharded_forward,
+    make_spatial_train_step,
 )

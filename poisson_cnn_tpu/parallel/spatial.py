@@ -196,6 +196,49 @@ def conjugate_gradient_spatial(
     return fn(rhs, x0, dx)
 
 
+def make_spatial_train_step(
+    mesh: Mesh, apply_fn, loss_fn, tx, axis_name: str = "data",
+):
+    """Full training step with activations AND gradients spatially sharded
+    along H (GSPMD) — the scale-out completion of `spatial_sharded_forward`.
+
+    The batch fields (rhs, soln) are sharded along the H axis over the mesh;
+    params and optimizer state are replicated. XLA's SPMD partitioner then
+    shards every conv in BOTH the forward and backward graphs (halo
+    collective-permutes over ICI), and the gradient contractions for the
+    replicated params become psum-style cross-shard reductions — so per-device
+    activation memory scales ~1/n_dev for the whole step, which is what lets
+    training run on grids (1025^2+, 3-D) whose single-chip working set exceeds
+    HBM. This is the capability the reference cannot express at all
+    (single-host mirrored DP only, `poisson_CNN/train/hpnn_legacy_train.py:37`).
+
+    apply_fn(params, rhs, dx) -> pred; loss_fn(soln, pred, rhs, dx) -> scalar.
+    Returns step(params, opt_state, rhs, soln, dx) -> (params, opt_state, loss),
+    jitted with sharding annotations (feed inputs through
+    `jax.device_put(x, NamedSharding(mesh, P(None, axis_name, None, None)))`
+    or let jit re-shard them).
+    """
+    import optax
+
+    spec = NamedSharding(mesh, P(None, axis_name, None, None))
+    repl = NamedSharding(mesh, P())
+
+    def step(params, opt_state, rhs, soln, dx):
+        def lf(p):
+            pred = apply_fn(p, rhs, dx)
+            return loss_fn(soln, pred, rhs, dx)
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, spec, spec, repl),
+        out_shardings=(repl, repl, repl),
+    )
+
+
 def spatial_sharded_forward(
     mesh: Mesh, apply_fn, params, rhs: jax.Array, dx: jax.Array,
     axis_name: str = "data", donate: bool = False,

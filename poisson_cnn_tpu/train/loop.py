@@ -112,6 +112,16 @@ def save_checkpoint(ckpt_dir: str, params, step: int):
 
 
 def restore_checkpoint(path: str, like_params=None):
+    """Restore {params, step} saved by `save_checkpoint`, casting params onto
+    `like_params`' dtypes when given.
+
+    Checkpoint-format note (round 3): HPNN branch parameter names are
+    POSITIONAL over the configured branch list (`models/hpnn.py`), not
+    contiguous over the branches live at init. A checkpoint written before
+    round 3 whose params were initialized at a grid small enough to skip a
+    branch will fail to restore with a tree-structure mismatch — re-export it
+    by loading with the old naming and saving again. All in-repo artifacts
+    were initialized with every branch live and are unaffected."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
@@ -220,10 +230,21 @@ class Trainer:
                 if (it + 1) % self.log_every == 0 or it + 1 == cfg.steps_per_epoch:
                     latest = float(epoch_losses[-1])
                     if not math.isfinite(latest):
+                        # a NaN propagates through params, so the divergence
+                        # originated at or up to log_every steps BEFORE this one
+                        # and this loss value is the propagated one.
                         raise FloatingPointError(
-                            f"non-finite loss at epoch {epoch} step {it}: {latest}"
+                            f"non-finite loss detected at/before epoch {epoch} "
+                            f"step {it} (latest sampled loss: {latest}; "
+                            f"divergence originated within the last "
+                            f"{self.log_every} steps)"
                         )
-            mean_loss = float(np.mean([float(x) for x in epoch_losses]))
+            # one host transfer for the whole epoch instead of one per step
+            # (non-array losses — e.g. test spies — fall back to per-item float)
+            if epoch_losses and isinstance(epoch_losses[0], jax.Array):
+                mean_loss = float(jnp.stack(epoch_losses).mean())
+            else:
+                mean_loss = float(np.mean([float(x) for x in epoch_losses]))
             self.history.append(mean_loss)
             dt = time.time() - t0
             sps = cfg.steps_per_epoch / dt
@@ -292,6 +313,9 @@ def _set_lr(opt_state, lr: float):
             return type(s)(*rebuilt) if hasattr(s, "_fields") else tuple(rebuilt)
         if isinstance(s, list):
             return [rebuild(x) for x in s]
+        if isinstance(s, dict):
+            # e.g. optax.multi_transform keeps inner states in a dict
+            return {k: rebuild(v) for k, v in s.items()}
         return s
 
     new_state = rebuild(opt_state)

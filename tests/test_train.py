@@ -355,6 +355,57 @@ def test_spatial_sharded_model_forward_matches_single_device():
     assert shard_shapes == {(2, 128 // 8, 64, 1)}, shard_shapes
 
 
+def test_spatial_sharded_train_step_matches_single_device():
+    """One full training step (forward + backward + adam update) with
+    activations AND gradients spatially sharded along H over the 8-device mesh
+    must produce the same loss and updated params as the single-device step."""
+    import optax
+
+    from poisson_cnn_tpu import losses
+    from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, HPNNFastConfig
+    from poisson_cnn_tpu.parallel import create_mesh, make_spatial_train_step
+
+    mesh = create_mesh(8)
+    cfg = HPNNFastConfig(
+        stem_filters=8, scale_filters=(8, 16), head_filters=8,
+        dx_mlp_units=(8,), dtype=None, output_scaling="soln_max_magnitude",
+    )
+    model = HPNNFast(cfg)
+    rhs = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 64, 1))
+    soln = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 64, 1))
+    dx = jnp.full((2, 2), 0.01)
+    params = model.init(jax.random.PRNGKey(2), rhs, dx)
+
+    loss_cfg = losses.LossConfig(mse_weight=1.0, mae_weight=0.2, global_batch_size=2)
+
+    def apply_fn(p, r, d):
+        return model.apply(p, r, d)
+
+    def loss_fn(s, pred, r, d):
+        return losses.loss_wrapper(loss_cfg, s, pred, r, d)
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    step_sp = make_spatial_train_step(mesh, apply_fn, loss_fn, tx)
+    p_sp, _, loss_sp = step_sp(params, opt_state, rhs, soln, dx)
+
+    def step_single(p0, o0):
+        def lf(p):
+            return loss_fn(soln, apply_fn(p, rhs, dx), rhs, dx)
+
+        loss, grads = jax.value_and_grad(lf)(p0)
+        updates, o1 = tx.update(grads, o0, p0)
+        return optax.apply_updates(p0, updates), o1, loss
+
+    p_1, _, loss_1 = jax.jit(step_single)(params, opt_state)
+    assert abs(float(loss_sp) - float(loss_1)) < 1e-5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_sp), jax.tree_util.tree_leaves(p_1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_gradient_accumulation_equivalence():
     """accumulation_steps=2 must average gradients over two generated
     microbatches (reference grad-accumulation capability)."""
