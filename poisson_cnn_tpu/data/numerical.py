@@ -80,24 +80,26 @@ def _control_levels(n: int) -> Tuple[int, ...]:
     return tuple(sorted({5, mid1, mid2, hi}))
 
 
-def _random_coarse_noise_2d(key, batch, grid_shape, magnitude_range, dtype=jnp.float32):
-    """The reference's smooth-field recipe (`numerical.py:10-35`): uniform noise
-    on a coarse control grid, bicubic-supersampled to the output grid; fewer
-    control points = smoother field. TPU-first: the reference draws a random
-    control count per batch (dynamic shapes); here each sample randomly SELECTS
-    among a static set of control levels, so everything stays jit-compiled
-    (all levels are synthesized — data-gen is cheap next to the train step)."""
-    levels0 = _control_levels(grid_shape[0])
-    levels1 = _control_levels(grid_shape[1])
-    n_levels = min(len(levels0), len(levels1))
+def _random_coarse_noise_nd(key, batch, grid_shape, magnitude_range, dtype=jnp.float32):
+    """The reference's smooth-field recipe (`numerical.py:10-35`), any rank:
+    uniform noise on a coarse control grid, (bi/tri)cubic-supersampled to the
+    output grid; fewer control points = smoother field. TPU-first: the
+    reference draws a random control count per batch (dynamic shapes); here
+    each sample randomly SELECTS among a static set of control levels, so
+    everything stays jit-compiled (all levels are synthesized — data-gen is
+    cheap next to the train step). For 2-D inputs the key-splitting and draws
+    are identical to the round-3 `_random_coarse_noise_2d`, so artifact
+    coarse-noise eval rows stay comparable."""
+    nd = len(grid_shape)
+    levels = [_control_levels(n) for n in grid_shape]
+    n_levels = min(len(lv) for lv in levels)
     keys = jax.random.split(key, n_levels + 2)
     candidates = []
     for i in range(n_levels):
-        noise = 2.0 * jax.random.uniform(
-            keys[i], (batch, levels0[i], levels1[i], 1), dtype=dtype
-        ) - 1.0
+        shape = (batch,) + tuple(lv[i] for lv in levels) + (1,)
+        noise = 2.0 * jax.random.uniform(keys[i], shape, dtype=dtype) - 1.0
         candidates.append(resize_align_corners(noise, grid_shape, "bicubic"))
-    stacked = jnp.stack(candidates)  # (L, B, n0, n1, 1)
+    stacked = jnp.stack(candidates)  # (L, B, *grid_shape, 1)
     sel = jax.random.randint(keys[-2], (batch,), 0, n_levels)
     f = stacked[sel, jnp.arange(batch)]
     mag = jax.random.uniform(
@@ -105,7 +107,11 @@ def _random_coarse_noise_2d(key, batch, grid_shape, magnitude_range, dtype=jnp.f
         minval=magnitude_range[0], maxval=magnitude_range[1],
     )
     f, _ = set_max_magnitude_in_batch_and_return_scaling_factors(f, 1.0, eps=1e-30)
-    return f * mag[:, None, None, None]
+    return f * mag.reshape((batch,) + (1,) * (nd + 1))
+
+
+def _random_coarse_noise_2d(key, batch, grid_shape, magnitude_range, dtype=jnp.float32):
+    return _random_coarse_noise_nd(key, batch, grid_shape, magnitude_range, dtype)
 
 
 def _random_coarse_noise_1d(key, batch, n_points, magnitude_range, dtype=jnp.float32):

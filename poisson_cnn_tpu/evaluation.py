@@ -84,28 +84,52 @@ def evaluate_hpnn_coarse_noise(
     the raw solver solution.
     """
     from .data import GridSamplingConfig
-    from .data.numerical import NumericalConfig, generate_numerical_batch
+    from .data.numerical import (
+        NumericalConfig,
+        _random_coarse_noise_nd,
+        generate_numerical_batch,
+    )
     from .ops import (
         set_max_magnitude_in_batch,
         set_max_magnitude_in_batch_and_return_scaling_factors,
     )
+    from .solvers import poisson_solve_dirichlet
 
-    cfg = NumericalConfig(
-        batch_size=batch_size,
-        grids=GridSamplingConfig(((64, 128), (64, 128)), dx_range),
-        rhs="random",
-        nonzero_boundaries=(),
-        field_type="coarse_noise",
-        solver="spectral",
-    )
+    ndims = len(grid_shapes[0])
+    cfg = None
+    if ndims == 2:
+        # keep the exact round-3 2-D protocol (same key splits/draws) so the
+        # artifact coarse-noise rows stay comparable across rounds
+        cfg = NumericalConfig(
+            batch_size=batch_size,
+            grids=GridSamplingConfig(((64, 128), (64, 128)), dx_range),
+            rhs="random",
+            nonzero_boundaries=(),
+            field_type="coarse_noise",
+            solver="spectral",
+        )
+
+    def nd_batch(key, shape):
+        # N-D path: coarse-noise RHS, homogeneous Dirichlet, FD-spectral truth
+        k_dx, k_rhs = jax.random.split(key)
+        dx = jax.random.uniform(
+            k_dx, (batch_size, 1), minval=dx_range[0], maxval=dx_range[1]
+        )
+        rhs = _random_coarse_noise_nd(k_rhs, batch_size, shape, (0.5, 1.5))
+        soln = poisson_solve_dirichlet(rhs, dx, mode="fd")
+        return {"rhs": rhs, "dx": dx, "soln": soln}
+
     errs = []
     for i in range(n_batches):
         shape = grid_shapes[i % len(grid_shapes)]
-        batch = generate_numerical_batch(jax.random.PRNGKey(seed + i), cfg, shape)
+        if ndims == 2:
+            batch = generate_numerical_batch(jax.random.PRNGKey(seed + i), cfg, shape)
+        else:
+            batch = nd_batch(jax.random.PRNGKey(seed + i), shape)
         rhs, soln = batch["rhs"], batch["soln"]
         if normalize_like_training:
             rhs, f = set_max_magnitude_in_batch_and_return_scaling_factors(rhs, 1.0)
-            soln = soln * f[:, None, None, None]
+            soln = soln * f.reshape((-1,) + (1,) * (soln.ndim - 1))
             soln = set_max_magnitude_in_batch(soln, 1.0)
         pred = apply_fn(rhs, batch["dx"])
         errs.append(np.asarray(relative_l2(pred, soln)))

@@ -40,7 +40,14 @@ import numpy as np
 import optax
 
 from poisson_cnn_tpu.data.reverse_nd import ReverseNDConfig, generate_batch_nd
+from poisson_cnn_tpu.data.numerical import _random_coarse_noise_nd
+from poisson_cnn_tpu.evaluation import evaluate_hpnn_coarse_noise
 from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, HPNNFastConfig
+from poisson_cnn_tpu.ops import (
+    set_max_magnitude_in_batch,
+    set_max_magnitude_in_batch_and_return_scaling_factors,
+)
+from poisson_cnn_tpu.solvers import poisson_solve_dirichlet
 from poisson_cnn_tpu.train.loop import save_checkpoint, restore_checkpoint
 
 MODEL = HPNNFastConfig(
@@ -81,8 +88,15 @@ def evaluate(model, params, n_batches=10, seed=50_000):
         s = soln.reshape(pred.shape[0], -1)
         errs.append(np.asarray(jnp.linalg.norm(d, axis=1) / jnp.linalg.norm(s, axis=1)))
     e = np.concatenate(errs)
-    return {"rel_l2_mean": float(e.mean()), "rel_l2_median": float(np.median(e)),
+    rows = {"rel_l2_mean": float(e.mean()), "rel_l2_median": float(np.median(e)),
             "rel_l2_p90": float(np.percentile(e, 90)), "n": int(e.size)}
+    # out-of-family column (the 2-D artifacts' standard second column, now N-D)
+    rows["coarse_noise"] = evaluate_hpnn_coarse_noise(
+        lambda rhs, dx: apply_fn(params, rhs, dx),
+        grid_shapes=((49, 49, 49), (33, 65, 49)),
+        batch_size=8,
+    )
+    return rows
 
 
 def main():
@@ -91,6 +105,11 @@ def main():
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--eval-only", default=None)
     p.add_argument("--continue-from", default=None)
+    p.add_argument(
+        "--mix-coarse", type=float, default=0.0,
+        help="fraction of steps trained on 3-D coarse-noise data (the v2 "
+        "recipe that fixed the 2-D out-of-family gap)",
+    )
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_fast_3d")
     args = p.parse_args()
 
@@ -138,6 +157,39 @@ def main():
 
         return step
 
+    def make_coarse_step(shape):
+        """Train step on 3-D coarse-noise data (training normalization:
+        rhs -> unit peak pair-consistently, then soln -> unit peak)."""
+
+        @jax.jit
+        def step(params, opt_state, key):
+            def loss_fn(p):
+                k_dx, k_rhs = jax.random.split(key)
+                dx = jax.random.uniform(
+                    k_dx, (DATA.batch_size, 1),
+                    minval=DATA.dx_range[0], maxval=DATA.dx_range[1],
+                )
+                rhs = _random_coarse_noise_nd(
+                    k_rhs, DATA.batch_size, shape, (0.5, 1.5)
+                )
+                soln = poisson_solve_dirichlet(rhs, dx, mode="fd")
+                rhs, f = set_max_magnitude_in_batch_and_return_scaling_factors(
+                    rhs, 1.0
+                )
+                soln = soln * f.reshape((-1,) + (1,) * (soln.ndim - 1))
+                soln = set_max_magnitude_in_batch(soln, 1.0)
+                pred = model.apply(p, rhs, dx)
+                return jnp.mean((pred - soln) ** 2) + 0.2 * jnp.mean(
+                    jnp.abs(pred - soln)
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        return step
+
+    coarse_cache = {}
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     running = []
@@ -145,11 +197,17 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     for it in range(args.steps):
         shape = SHAPES[rng.integers(len(SHAPES))]
-        if shape not in step_cache:
-            print(f"[{it}] compiling shape {shape}", flush=True)
-            step_cache[shape] = make_step(shape)
+        use_coarse = args.mix_coarse > 0 and rng.random() < args.mix_coarse
+        cache, factory = (
+            (coarse_cache, make_coarse_step) if use_coarse
+            else (step_cache, make_step)
+        )
+        if shape not in cache:
+            print(f"[{it}] compiling {'coarse ' if use_coarse else ''}shape "
+                  f"{shape}", flush=True)
+            cache[shape] = factory(shape)
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step_cache[shape](params, opt_state, sub)
+        params, opt_state, loss = cache[shape](params, opt_state, sub)
         running.append(float(loss))
         if (it + 1) % 200 == 0:
             window = float(np.mean(running[-200:]))
