@@ -136,6 +136,77 @@ def evaluate_hpnn_coarse_noise(
     return summarize(np.concatenate(errs))
 
 
+def evaluate_hpnn_gaussian_mg(
+    apply_fn: Callable,
+    grid_shapes: Sequence[Tuple[int, int]] = ((97, 97), (65, 129)),
+    n_batches: int = 4,
+    seed: int = 30_000,
+    dx_range: Tuple[float, float] = (5e-3, 5e-2),
+    batch_size: int = 32,
+    normalize_like_training: bool = True,
+    max_bumps: int = 4,
+    tol: float = 1e-10,
+) -> Dict[str, float]:
+    """THIRD independent eval column: Gaussian-bump RHS scored against the
+    in-tree host C++ multigrid oracle.
+
+    Independence from the other two columns on both axes:
+    - RHS family: sums of 1-4 localized Gaussian sources (random centers,
+      widths, signs) — structurally unlike both the in-family truncated
+      series/Taylor data and the coarse-control-grid noise column.
+    - Ground truth: the native C++ geometric multigrid
+      (`native/poisson_mg.cpp`, the analog of the reference's pyamg oracle,
+      `poisson_CNN/dataset/solvers/multigrid.py:98-150`) rather than the JAX
+      spectral solvers, closing the self-referential-evaluation loop.
+
+    2-D only (the host oracle is 2-D). Raises RuntimeError if the native
+    library is unavailable. Same unit-peak normalization caveat as
+    `evaluate_hpnn_coarse_noise`: normalize_like_training=True is only valid
+    for unit-peak-output models.
+    """
+    from .native import multigrid_poisson_solve_host
+    from .ops import (
+        set_max_magnitude_in_batch,
+        set_max_magnitude_in_batch_and_return_scaling_factors,
+    )
+
+    if len(grid_shapes[0]) != 2:
+        raise ValueError("gaussian_mg column is 2-D only (host oracle)")
+
+    def make_batch(rng, shape):
+        ny, nx = shape
+        yhat = np.linspace(0.0, 1.0, ny)[:, None]
+        xhat = np.linspace(0.0, 1.0, nx)[None, :]
+        rhs = np.zeros((batch_size, ny, nx), dtype=np.float64)
+        for b in range(batch_size):
+            for _ in range(int(rng.integers(1, max_bumps + 1))):
+                cy, cx = rng.uniform(0.15, 0.85, size=2)
+                sy, sx = rng.uniform(0.04, 0.15, size=2)
+                amp = rng.uniform(0.3, 1.0) * rng.choice((-1.0, 1.0))
+                rhs[b] += amp * np.exp(
+                    -((yhat - cy) ** 2 / (2 * sy**2) + (xhat - cx) ** 2 / (2 * sx**2))
+                )
+        dx = rng.uniform(dx_range[0], dx_range[1], size=(batch_size, 1))
+        soln = multigrid_poisson_solve_host(rhs, dx, tol=tol)
+        return (
+            jnp.asarray(rhs[..., None], dtype=jnp.float32),
+            jnp.asarray(dx, dtype=jnp.float32),
+            jnp.asarray(soln[..., None], dtype=jnp.float32),
+        )
+
+    errs = []
+    for i in range(n_batches):
+        shape = grid_shapes[i % len(grid_shapes)]
+        rhs, dx, soln = make_batch(np.random.default_rng(seed + i), shape)
+        if normalize_like_training:
+            rhs, f = set_max_magnitude_in_batch_and_return_scaling_factors(rhs, 1.0)
+            soln = soln * f.reshape((-1,) + (1,) * (soln.ndim - 1))
+            soln = set_max_magnitude_in_batch(soln, 1.0)
+        pred = apply_fn(rhs, dx)
+        errs.append(np.asarray(relative_l2(pred, soln)))
+    return summarize(np.concatenate(errs))
+
+
 def solver_baseline(
     solve_fn: Callable,
     data_cfg: ReverseConfig,

@@ -32,7 +32,10 @@ except Exception:
 
 import jax.numpy as jnp
 
-from poisson_cnn_tpu.evaluation import evaluate_hpnn_coarse_noise
+from poisson_cnn_tpu.evaluation import (
+    evaluate_hpnn_coarse_noise,
+    evaluate_hpnn_gaussian_mg,
+)
 from poisson_cnn_tpu.models import HPNN, HPNNConfig
 from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, load_fast_config
 from poisson_cnn_tpu.train.loop import restore_checkpoint
@@ -113,6 +116,9 @@ def hpnn_demo_big(step="step_25000", regime="small"):
 
 ARTIFACTS = {
     "hpnn_fast": fast("hpnn_fast", "step_12000", "small"),  # bench config (r=8, fullrange-trained)
+    "hpnn_fast_v3": fast("hpnn_fast_v3", "step_12000", "small"),  # + 50% coarse mix
+    "hpnn_fast_v3@mid": fast("hpnn_fast_v3", "step_12000", "mid"),
+    "hpnn_fast_v3@xl": fast("hpnn_fast_v3", "step_12000", "xl"),
     "hpnn_fast_r2": fast("hpnn_fast_r2", "step_12000", "small"),
     "hpnn_fast_256": fast("hpnn_fast_256", "step_10000", "mid"),
     "hpnn_fast_512": fast("hpnn_fast_512", "step_8000", "xl"),
@@ -126,25 +132,36 @@ ARTIFACTS = {
 }
 
 
+COLUMNS = {
+    # second column: coarse-control-grid noise RHS, spectral FD ground truth
+    "coarse_noise": (evaluate_hpnn_coarse_noise, "coarse_noise_rescore.json"),
+    # third column (round-3 VERDICT #9): Gaussian-bump RHS, host C++ MG truth
+    "gaussian_mg": (evaluate_hpnn_gaussian_mg, "gaussian_mg_rescore.json"),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", nargs="*", default=None)
-    ap.add_argument("--out", default=os.path.join(CKPT, "coarse_noise_rescore.json"))
+    ap.add_argument("--column", choices=sorted(COLUMNS), default="coarse_noise")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    eval_fn, default_out = COLUMNS[args.column]
+    out_path = args.out or os.path.join(CKPT, default_out)
     out = {}
-    if os.path.exists(args.out):
-        with open(args.out) as f:
+    if os.path.exists(out_path):
+        with open(out_path) as f:
             out = json.load(f)
     for name, (build, regime) in ARTIFACTS.items():
         if args.only and name not in args.only:
             continue
         apply_fn = build()
         kw = dict(REGIMES[regime])
-        out[name] = {"regime": regime, **evaluate_hpnn_coarse_noise(apply_fn, **kw)}
+        out[name] = {"regime": regime, **eval_fn(apply_fn, **kw)}
         print(name, json.dumps(out[name]), flush=True)
-        with open(args.out, "w") as f:
+        with open(out_path, "w") as f:
             json.dump(out, f, indent=2)
-    print("wrote", args.out)
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":

@@ -313,3 +313,36 @@ def test_coarse_noise_eval_protocol_nd():
     interior = rhs[:, 1:-1, 1:-1, 1:-1]
     rel = float(jnp.linalg.norm(lap - interior) / jnp.linalg.norm(interior))
     assert rel < 5e-3, rel
+
+
+def test_gaussian_mg_eval_protocol():
+    """THIRD independent eval column (round-3 VERDICT #9): Gaussian-bump RHS +
+    host C++ MG ground truth. Scoring the exact FD-spectral solver as the
+    'model' must give rel-L2 ~ 0 (the MG oracle solves the same 5-point system
+    to tol 1e-10), with and without the unit-peak training normalization."""
+    import pytest
+
+    from poisson_cnn_tpu import native
+    from poisson_cnn_tpu.evaluation import evaluate_hpnn_gaussian_mg
+    from poisson_cnn_tpu.ops import set_max_magnitude_in_batch
+    from poisson_cnn_tpu.solvers import poisson_solve_dirichlet
+
+    if not native.available():
+        pytest.skip("native multigrid library unavailable")
+
+    oracle = lambda rhs, dx: poisson_solve_dirichlet(rhs, dx, mode="fd")
+    r = evaluate_hpnn_gaussian_mg(
+        oracle, grid_shapes=((33, 33), (33, 49)), n_batches=2, batch_size=4,
+        normalize_like_training=False,
+    )
+    assert r["rel_l2_mean"] < 1e-5, r
+
+    # unit-peak-output oracle through the training-normalized protocol
+    peak_oracle = lambda rhs, dx: set_max_magnitude_in_batch(
+        poisson_solve_dirichlet(rhs, dx, mode="fd"), 1.0
+    )
+    rn = evaluate_hpnn_gaussian_mg(
+        peak_oracle, grid_shapes=((33, 33),), n_batches=1, batch_size=4,
+        normalize_like_training=True,
+    )
+    assert rn["rel_l2_mean"] < 1e-5, rn
