@@ -1,6 +1,7 @@
 from .hpnn import HPNN, HPNNConfig
 from .hpnn_fast import HPNNFast, HPNNFastConfig, load_fast_config
 from .dbcnn import DBCNN, DBCNNConfig, stable_sinh_modes
+from .dbcnn_fast import DBCNNFast, DBCNNFastConfig
 from .pcnn import PCNN, PCNNConfig
 from .unet import UNet, UNetConfig, ConvBlock
 from .pix2pix import Pix2PixGenerator, Pix2PixConfig

@@ -29,8 +29,12 @@ import flax.linen as nn
 
 from ..ops import apply_fd_operator, compute_domain_sizes, peak_magnitudes
 from ..layers import JacobiIterationLayer
+from typing import Optional
+
 from .hpnn import HPNN, HPNNConfig
+from .hpnn_fast import HPNNFast, HPNNFastConfig
 from .dbcnn import DBCNN, DBCNNConfig
+from .dbcnn_fast import DBCNNFast, DBCNNFastConfig
 
 
 def _safe_unit_normalize(arr: jax.Array):
@@ -50,6 +54,10 @@ def _safe_unit_normalize(arr: jax.Array):
 class PCNNConfig:
     hpnn: HPNNConfig = HPNNConfig()
     dbcnn: DBCNNConfig = DBCNNConfig()
+    # TPU-first component swaps: when set, these replace the reference-parity
+    # components with the fast family (same call signatures / conventions)
+    hpnn_fast: Optional[HPNNFastConfig] = None
+    dbcnn_fast: Optional[DBCNNFastConfig] = None
     jacobi_iterations: int = 0
     # how to restore the homogeneous field's physical amplitude:
     # 'domain' — multiply by L_max^2 * peak(rhs) (reference convention; assumes
@@ -90,8 +98,12 @@ class PCNN(nn.Module):
         right_n, right_peak = _safe_unit_normalize(right)
         bottom_n, bottom_peak = _safe_unit_normalize(bottom)
 
-        hpnn = HPNN(self.cfg.hpnn)
-        dbcnn = DBCNN(self.cfg.dbcnn)
+        cfg = self.cfg
+        hpnn = HPNNFast(cfg.hpnn_fast) if cfg.hpnn_fast is not None else HPNN(cfg.hpnn)
+        dbcnn = (
+            DBCNNFast(cfg.dbcnn_fast) if cfg.dbcnn_fast is not None
+            else DBCNN(cfg.dbcnn)
+        )
 
         L = compute_domain_sizes(dx2, (H, W))
         u_h_raw = hpnn(rhs_n, dx2, train=train)

@@ -571,3 +571,116 @@ def test_hpnn_fast_r8_fold_odd_grids():
         for axis in (1, 2):
             assert np.abs(np.take(out, 0, axis=axis)).max() == 0.0
             assert np.abs(np.take(out, -1, axis=axis)).max() == 0.0
+
+
+# ---------------------------------------------------------------- DBCNNFast
+
+SMALL_DBCNN_FAST = None  # populated lazily (import kept local to the tests)
+
+
+def _small_dbcnn_fast_cfg():
+    from poisson_cnn_tpu.models import DBCNNFastConfig
+
+    return DBCNNFastConfig(
+        n_modes=24, input_space_to_depth=2, stem_filters=8, scale_filters=(12,),
+        convs_per_scale=1, head_filters=8, cond_mlp_units=(16,),
+    )
+
+
+def test_dbcnn_fast_untrained_equals_discrete_prior():
+    """The zero-initialized trunk contributes nothing, so the untrained model
+    is the analytic prior — which is discrete-EXACT for a boundary whose DST
+    spectrum fits inside n_modes (the series family is band-limited; corner
+    values never enter the discrete interior problem). Oracle: the spectral
+    Laplace ground truth."""
+    from poisson_cnn_tpu.data import GridSamplingConfig
+    from poisson_cnn_tpu.data.numerical import NumericalConfig, generate_numerical_batch
+    from poisson_cnn_tpu.models import DBCNNFast
+
+    cfg = NumericalConfig(
+        batch_size=4,
+        grids=GridSamplingConfig(((48, 64), (48, 64)), (5e-3, 5e-2)),
+        rhs="zero", nonzero_boundaries=("left",), boundary_mode_range=(2, 6),
+        magnitude_range=(1.0, 1.0), field_type="series",
+    )
+    shape = (49, 57)
+    batch = generate_numerical_batch(jax.random.PRNGKey(3), cfg, shape)
+    model = DBCNNFast(_small_dbcnn_fast_cfg())
+    bc = batch["boundaries"]["left"]
+    params = model.init(jax.random.PRNGKey(0), bc, batch["dx"], shape[0])
+    pred = model.apply(params, bc, batch["dx"], shape[0])
+    assert pred.shape == batch["soln"].shape
+    rel = np.asarray(
+        jnp.linalg.norm((pred - batch["soln"]).reshape(4, -1), axis=1)
+        / jnp.linalg.norm(batch["soln"].reshape(4, -1), axis=1)
+    )
+    assert rel.max() < 1e-3, rel
+    # BC row re-imposed exactly
+    np.testing.assert_allclose(np.asarray(pred[:, 0]), np.asarray(bc), atol=1e-6)
+
+
+def test_dbcnn_fast_coarse_noise_prior_reasonable_and_trainable():
+    """Coarse-noise boundaries have out-of-band DST content, so the truncated
+    prior alone is NOT exact — the residual trunk's job. The prior must still
+    be a sane start, and a few SGD steps must reduce the loss."""
+    from poisson_cnn_tpu.data import GridSamplingConfig
+    from poisson_cnn_tpu.data.numerical import NumericalConfig, generate_numerical_batch
+    from poisson_cnn_tpu.models import DBCNNFast
+
+    cfg = NumericalConfig(
+        batch_size=4,
+        grids=GridSamplingConfig(((48, 64), (48, 64)), (5e-3, 5e-2)),
+        rhs="zero", nonzero_boundaries=("left",), boundary_mode_range=(2, 6),
+        magnitude_range=(1.0, 1.0), field_type="coarse_noise",
+    )
+    shape = (49, 49)
+    batch = generate_numerical_batch(jax.random.PRNGKey(7), cfg, shape)
+    model = DBCNNFast(_small_dbcnn_fast_cfg())
+    bc = batch["boundaries"]["left"]
+    params = model.init(jax.random.PRNGKey(0), bc, batch["dx"], shape[0])
+    pred = model.apply(params, bc, batch["dx"], shape[0])
+    rel = float(
+        jnp.linalg.norm(pred - batch["soln"]) / jnp.linalg.norm(batch["soln"])
+    )
+    assert rel < 0.7, rel
+
+    tx = optax.adam(1e-4)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        out = model.apply(p, bc, batch["dx"], shape[0])
+        return jnp.mean((out - batch["soln"]) ** 2)
+
+    l0 = float(loss_fn(params))
+    p, o = params, opt
+    for _ in range(10):
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(g, o, p)
+        p = optax.apply_updates(p, up)
+    assert float(loss_fn(p)) < l0
+
+
+def test_pcnn_with_fast_components():
+    """PCNNConfig.hpnn_fast/dbcnn_fast swap in the fast family; superposition
+    output keeps shape and the single-edge BC trace convention."""
+    from poisson_cnn_tpu.models import HPNNFastConfig
+
+    cfg = PCNNConfig(
+        hpnn_fast=HPNNFastConfig(
+            input_space_to_depth=2, stem_filters=8, scale_filters=(12,),
+            convs_per_scale=1, head_filters=8, dx_mlp_units=(16,),
+        ),
+        dbcnn_fast=_small_dbcnn_fast_cfg(),
+        hpnn_scale_mode="match_peak_laplacian",
+    )
+    model = PCNN(cfg)
+    B, H, W = 2, 48, 40
+    rhs = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 1))
+    dx = jnp.full((B, 1), 0.02)
+    left = jax.random.normal(jax.random.PRNGKey(5), (B, W, 1))
+    zeros_w = jnp.zeros((B, W, 1))
+    zeros_h = jnp.zeros((B, H, 1))
+    params = model.init(jax.random.PRNGKey(0), rhs, left, zeros_h, zeros_w, zeros_h, dx)
+    out = model.apply(params, rhs, left, zeros_h, zeros_w, zeros_h, dx)
+    assert out.shape == rhs.shape
+    assert bool(jnp.isfinite(out).all())
