@@ -11,6 +11,7 @@ Usage: python scripts/pcnn_finetune.py [--steps N]
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -86,33 +87,42 @@ def main():
     p.add_argument("--continue-from", default=None,
                    help="restore combined PCNN params from this checkpoint "
                    "instead of composing the component checkpoints")
+    p.add_argument("--fast", action="store_true",
+                   help="compose HPNNFast + DBCNNFast checkpoints (step dirs "
+                   "whose parents hold config.json) instead of the demo pair")
     p.add_argument("--out", default="/root/repo/checkpoints/pcnn_finetuned")
     args = p.parse_args()
 
-    cfg = PCNNConfig(
-        hpnn=hdemo.BIG_MODEL,
-        dbcnn=ddemo.MODEL,
-        hpnn_scale_mode="match_peak_laplacian",
-        jacobi_iterations=0,
-    )
-    model = PCNN(cfg)
+    if args.fast:
+        from pcnn_combined_eval import build_fast
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        hpnn_params = HPNN(hdemo.BIG_MODEL).init(
-            jax.random.PRNGKey(0), jnp.ones((1, 97, 97, 1)), jnp.full((1, 1), 0.01)
+        model, params = build_fast(args.hpnn, args.dbcnn, jacobi=0)
+        cfg = model.cfg
+    else:
+        cfg = PCNNConfig(
+            hpnn=hdemo.BIG_MODEL,
+            dbcnn=ddemo.MODEL,
+            hpnn_scale_mode="match_peak_laplacian",
+            jacobi_iterations=0,
         )
-        dbcnn_params = DBCNN(ddemo.MODEL).init(
-            jax.random.PRNGKey(0), jnp.ones((1, 97, 1)), jnp.full((1, 1), 0.01), 97
-        )
-    hpnn_params, _ = restore_checkpoint(os.path.abspath(args.hpnn), hpnn_params)
-    dbcnn_params, _ = restore_checkpoint(os.path.abspath(args.dbcnn), dbcnn_params)
-    params = {
-        "params": {
-            "HPNN_0": hpnn_params["params"],
-            "DBCNN_0": dbcnn_params["params"],
+        model = PCNN(cfg)
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            hpnn_params = HPNN(hdemo.BIG_MODEL).init(
+                jax.random.PRNGKey(0), jnp.ones((1, 97, 97, 1)), jnp.full((1, 1), 0.01)
+            )
+            dbcnn_params = DBCNN(ddemo.MODEL).init(
+                jax.random.PRNGKey(0), jnp.ones((1, 97, 1)), jnp.full((1, 1), 0.01), 97
+            )
+        hpnn_params, _ = restore_checkpoint(os.path.abspath(args.hpnn), hpnn_params)
+        dbcnn_params, _ = restore_checkpoint(os.path.abspath(args.dbcnn), dbcnn_params)
+        params = {
+            "params": {
+                "HPNN_0": hpnn_params["params"],
+                "DBCNN_0": dbcnn_params["params"],
+            }
         }
-    }
     if args.continue_from:
         params, _ = restore_checkpoint(os.path.abspath(args.continue_from), params)
     params = jax.device_put(params, jax.devices()[0])
@@ -192,12 +202,8 @@ def main():
     metrics = {"train_field_type": args.field_type,
                "final_train_loss": float(np.mean(running[-200:])),
                "checkpoint": final}
-    model_j20 = PCNN(
-        PCNNConfig(
-            hpnn=hdemo.BIG_MODEL, dbcnn=ddemo.MODEL,
-            hpnn_scale_mode="match_peak_laplacian", jacobi_iterations=20,
-        )
-    )
+    metrics["fast"] = bool(args.fast)
+    model_j20 = PCNN(dataclasses.replace(cfg, jacobi_iterations=20))
     for ft in ("series", "coarse_noise"):
         metrics[f"eval_{ft}"] = evaluate(model, params, ft)
         print(ft, metrics[f"eval_{ft}"], flush=True)
