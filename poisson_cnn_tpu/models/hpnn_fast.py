@@ -124,11 +124,24 @@ class FiLM(nn.Module):
 
 
 def _pad_to_multiple(x: jax.Array, mult: int):
-    """Zero-pad spatial dims of (B,*spatial,C) up to a multiple of `mult`."""
+    """Zero-pad spatial dims of (B,*spatial,C) up to a multiple of `mult`,
+    ALWAYS leaving at least one padded cell per dim.
+
+    The zero margin is part of the trained models' boundary encoding: training
+    shapes (32k+1 lattices) always produce a margin, and the trunk learns to
+    read the data->zeros transition as the domain edge. Without the guarantee,
+    exact-multiple grids (64/96/128/256...) are silently out-of-distribution —
+    measured 62-92%% rel-L2 vs 1-9%% with the margin (same checkpoint, same
+    data; see checkpoints/even_grid_fix.json). Exact-multiple inputs therefore
+    pad up a full extra block; that is the price of shape-independent
+    correctness, paid only on multiple-sized grids."""
     spatial = x.shape[1:-1]
-    padded = tuple(-(-s // mult) * mult for s in spatial)
-    if padded == spatial:
+    if mult == 1:
         return x, spatial
+    padded = tuple(
+        (s // mult + 1) * mult if s % mult == 0 else -(-s // mult) * mult
+        for s in spatial
+    )
     pads = ((0, 0),) + tuple((0, p - s) for s, p in zip(spatial, padded)) + ((0, 0),)
     return jnp.pad(x, pads), spatial
 

@@ -57,6 +57,19 @@ MODEL = HPNNFastConfig(
     output_scaling="soln_max_magnitude",
 )
 
+# round-4: wider trunk for the 3-D accuracy push (the thin default plateaued
+# at ~9% in-family; 2-D needed comparable width to reach 3-4%)
+MODEL_WIDE = HPNNFastConfig(
+    stem_filters=24,
+    scale_filters=(48, 80, 96),
+    convs_per_scale=2,
+    head_filters=24,
+    stem_kernel_size=7,
+    head_kernel_size=7,
+    dtype="bfloat16",
+    output_scaling="soln_max_magnitude",
+)
+
 DATA = ReverseNDConfig(batch_size=8, dx_range=(5e-3, 5e-2),
                        fourier_mode_range=(1, 5))
 
@@ -110,10 +123,11 @@ def main():
         help="fraction of steps trained on 3-D coarse-noise data (the v2 "
         "recipe that fixed the 2-D out-of-family gap)",
     )
+    p.add_argument("--model", choices=("default", "wide"), default="default")
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_fast_3d")
     args = p.parse_args()
 
-    model = HPNNFast(MODEL)
+    model = HPNNFast(MODEL_WIDE if args.model == "wide" else MODEL)
     rng = np.random.default_rng(0)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -225,7 +239,7 @@ def main():
         print(f"using best-window params (loss {best[0]:.5f})", flush=True)
     path = save_checkpoint(args.out, params, args.steps)
     with open(os.path.join(args.out, "config.json"), "w") as f:
-        json.dump(dataclasses.asdict(MODEL), f, indent=2)
+        json.dump(dataclasses.asdict(model.cfg), f, indent=2)
     metrics = evaluate(model, params)
     metrics["final_train_loss"] = float(np.mean(running[-200:]))
     metrics["checkpoint"] = path

@@ -684,3 +684,50 @@ def test_pcnn_with_fast_components():
     out = model.apply(params, rhs, left, zeros_h, zeros_w, zeros_h, dx)
     assert out.shape == rhs.shape
     assert bool(jnp.isfinite(out).all())
+
+
+def test_pad_to_multiple_guarantees_margin():
+    """Exact-multiple grids must still get a zero pad margin: the fold models'
+    trunks learn the data->zeros transition as the domain edge (training
+    shapes are 32k+1 lattices, so a margin is always present in training);
+    marginless multiples measured 62-92% rel-L2 vs 1-9% with the margin
+    (checkpoints/even_grid_fix.json)."""
+    from poisson_cnn_tpu.models.hpnn_fast import _pad_to_multiple
+
+    x = jnp.ones((1, 96, 64, 1))
+    padded, spatial = _pad_to_multiple(x, 32)
+    assert spatial == (96, 64)
+    assert padded.shape == (1, 128, 96, 1)
+    # margin is zeros, data region intact
+    np.testing.assert_array_equal(np.asarray(padded[:, 96:, :, :]), 0.0)
+    np.testing.assert_array_equal(np.asarray(padded[:, :96, :64, :]), 1.0)
+    # non-multiples keep the old behavior
+    padded2, _ = _pad_to_multiple(jnp.ones((1, 97, 65, 1)), 32)
+    assert padded2.shape == (1, 128, 96, 1)
+    # mult=1 is a no-op
+    padded3, _ = _pad_to_multiple(jnp.ones((1, 5, 5, 1)), 1)
+    assert padded3.shape == (1, 5, 5, 1)
+
+
+def test_hpnn_fast_forward_on_multiple_sized_grids():
+    """Forward pass works and stays finite on exact-multiple grids in 2-D and
+    3-D (the previously silently-degraded class)."""
+    m = HPNNFast(SMALL_FAST) if "SMALL_FAST" in globals() else None
+    import dataclasses as _dc
+    from poisson_cnn_tpu.models import HPNNFastConfig
+
+    cfg = HPNNFastConfig(
+        input_space_to_depth=2, stem_filters=8, scale_filters=(12,),
+        convs_per_scale=1, head_filters=8, dx_mlp_units=(16,),
+    )
+    model = HPNNFast(cfg)
+    rhs = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 96, 1))
+    dx = jnp.full((2, 1), 0.02)
+    params = model.init(jax.random.PRNGKey(0), rhs, dx)
+    out = model.apply(params, rhs, dx)
+    assert out.shape == rhs.shape and bool(jnp.isfinite(out).all())
+    rhs3 = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 16, 1))
+    dx3 = jnp.full((1, 3), 0.02)
+    p3 = model.init(jax.random.PRNGKey(0), rhs3, dx3)
+    out3 = model.apply(p3, rhs3, dx3)
+    assert out3.shape == rhs3.shape and bool(jnp.isfinite(out3).all())
