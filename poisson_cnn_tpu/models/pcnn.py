@@ -64,10 +64,27 @@ class PCNNConfig:
     #   the HPNN was trained on 1/L_max^2-normalized solutions);
     # 'match_peak_laplacian' — scale so peak|lap(u_h)| == peak|rhs| (the
     #   reference's match-peak output mode; works with unit-peak-trained HPNNs)
+    # 'match_laplacian_l2' — energy-optimal scale argmin_a ||a lap(u_h) - rhs||
+    #   (the amplitude="energy" estimator proven in the NS warm start,
+    #   ns2d/stepper.py): a peak estimate amplifies single-pixel FD noise by
+    #   1/h^2, the L2 projection averages it out — tighter composed-PCNN tails
+    # 'coarse_anchor' — two-grid amplitude anchoring: restrict the normalized
+    #   rhs to a tiny anchor grid (anchor_resolution^2, default 17^2 — <0.1%
+    #   of the fine DOF, far too coarse to resolve the field), solve that
+    #   exactly with the spectral FD solver, and least-squares fit the
+    #   restricted CNN output to it. Both Laplacian-matching estimators are
+    #   dominated by the 1/h^2-amplified high-frequency noise of the CNN
+    #   output (measured 25x underestimates); the anchor estimates the single
+    #   amplitude scalar to ~1-2% at the cost of one tiny DST solve.
     hpnn_scale_mode: str = "domain"
+    anchor_resolution: int = 17
 
     def __post_init__(self):
-        if self.hpnn_scale_mode not in ("domain", "match_peak_laplacian"):
+        modes = (
+            "domain", "match_peak_laplacian", "match_laplacian_l2",
+            "coarse_anchor",
+        )
+        if self.hpnn_scale_mode not in modes:
             raise ValueError(f"unknown hpnn_scale_mode {self.hpnn_scale_mode}")
 
 
@@ -110,6 +127,29 @@ class PCNN(nn.Module):
         if self.cfg.hpnn_scale_mode == "match_peak_laplacian":
             lap = apply_fd_operator(u_h_raw, dx2, 5, 2)
             hpnn_scale = rhs_peak / (peak_magnitudes(lap) + 1e-30)
+        elif self.cfg.hpnn_scale_mode == "coarse_anchor":
+            from ..ops import resize_align_corners
+            from ..solvers import poisson_solve_dirichlet
+
+            nc = int(self.cfg.anchor_resolution)
+            rhs_c = resize_align_corners(rhs_n, (nc, nc), "bilinear")
+            dx_c = dx2 * (jnp.array([H - 1, W - 1], dtype=dx2.dtype) / (nc - 1))
+            u_c = poisson_solve_dirichlet(rhs_c, dx_c, mode="fd")
+            ur_c = resize_align_corners(u_h_raw, (nc, nc), "bilinear")
+            num = jnp.sum((ur_c * u_c).reshape(B, -1), axis=1)
+            den = jnp.sum((ur_c * ur_c).reshape(B, -1), axis=1) + 1e-30
+            hpnn_scale = (num / den) * rhs_peak
+        elif self.cfg.hpnn_scale_mode == "match_laplacian_l2":
+            lap = apply_fd_operator(u_h_raw, dx2, 5, 2)
+            k = (rhs.shape[1] - lap.shape[1]) // 2
+            interior = rhs_n[
+                (slice(None),)
+                + tuple(slice(k, -k) for _ in range(rhs.ndim - 2))
+                + (slice(None),)
+            ]
+            num = jnp.sum((lap * interior).reshape(B, -1), axis=1)
+            den = jnp.sum((lap * lap).reshape(B, -1), axis=1) + 1e-30
+            hpnn_scale = (num / den) * rhs_peak
         else:
             hpnn_scale = jnp.max(L, axis=1) ** 2 * rhs_peak
         u_h = u_h_raw * hpnn_scale[:, None, None, None]

@@ -38,7 +38,7 @@ import train_hpnn_demo as hdemo
 import train_dbcnn_demo as ddemo
 
 
-def build_fast(hpnn_step, dbcnn_step, jacobi):
+def build_fast(hpnn_step, dbcnn_step, jacobi, scale_mode="match_peak_laplacian"):
     """Compose the fast family: hpnn/dbcnn args point to step dirs whose
     parent holds config.json."""
     hdir, ddir = os.path.dirname(hpnn_step), os.path.dirname(dbcnn_step)
@@ -51,7 +51,7 @@ def build_fast(hpnn_step, dbcnn_step, jacobi):
     dcfg = DBCNNFastConfig(**d)
     cfg = PCNNConfig(
         hpnn_fast=hcfg, dbcnn_fast=dcfg,
-        hpnn_scale_mode="match_peak_laplacian", jacobi_iterations=jacobi,
+        hpnn_scale_mode=scale_mode, jacobi_iterations=jacobi,
     )
     hpnn_params = HPNNFast(hcfg).init(
         jax.random.PRNGKey(0), jnp.ones((1, 97, 97, 1)), jnp.full((1, 1), 0.01)
@@ -102,12 +102,14 @@ def main():
                    help="compose HPNNFast + DBCNNFast checkpoints instead of "
                    "the reference-parity HPNN + DBCNN demos")
     p.add_argument("--jacobi", type=int, default=0)
+    p.add_argument("--scale-mode", default="match_peak_laplacian",
+                   choices=("domain", "match_peak_laplacian", "match_laplacian_l2", "coarse_anchor"))
     p.add_argument("--batches", type=int, default=4)
     p.add_argument("--field-types", default="series,coarse_noise")
     args = p.parse_args()
 
     model, params = (
-        build_fast(args.hpnn, args.dbcnn, args.jacobi) if args.fast
+        build_fast(args.hpnn, args.dbcnn, args.jacobi, args.scale_mode) if args.fast
         else build_legacy(args.hpnn, args.dbcnn, args.jacobi)
     )
 

@@ -731,3 +731,39 @@ def test_hpnn_fast_forward_on_multiple_sized_grids():
     p3 = model.init(jax.random.PRNGKey(0), rhs3, dx3)
     out3 = model.apply(p3, rhs3, dx3)
     assert out3.shape == rhs3.shape and bool(jnp.isfinite(out3).all())
+
+
+def test_pcnn_coarse_anchor_recovers_amplitude():
+    """The two-grid amplitude anchor: feeding the PCNN an hpnn whose unit-peak
+    output has the exact solution's SHAPE must recover the homogeneous field to
+    a few percent (both Laplacian-matching modes underestimate ~25x on real
+    CNN outputs — checkpoints/pcnn_fast_eval.json). Oracle built by solving
+    the homogeneous problem exactly and checking the anchor's least-squares
+    scale against the known amplitude."""
+    from poisson_cnn_tpu.ops import peak_magnitudes, resize_align_corners
+    from poisson_cnn_tpu.solvers import poisson_solve_dirichlet
+
+    key = jax.random.PRNGKey(0)
+    B, H, W = 4, 49, 65
+    rhs = jax.random.normal(key, (B, 9, 9, 1))
+    rhs = resize_align_corners(rhs, (H, W), "bicubic")  # smooth random rhs
+    dx = jnp.full((B, 2), 0.02)
+    u_exact = poisson_solve_dirichlet(rhs, dx, mode="fd")
+    peaks = peak_magnitudes(u_exact).reshape(B, 1, 1, 1)
+    u_raw = u_exact / peaks  # unit-peak 'CNN output' with perfect shape
+    rhs_peak = peak_magnitudes(rhs)
+    rhs_n = rhs / rhs_peak.reshape(B, 1, 1, 1)
+
+    nc = 17
+    rhs_c = resize_align_corners(rhs_n, (nc, nc), "bilinear")
+    dx_c = dx * (jnp.array([H - 1, W - 1], dtype=dx.dtype) / (nc - 1))
+    u_c = poisson_solve_dirichlet(rhs_c, dx_c, mode="fd")
+    ur_c = resize_align_corners(u_raw, (nc, nc), "bilinear")
+    num = jnp.sum((ur_c * u_c).reshape(B, -1), axis=1)
+    den = jnp.sum((ur_c * ur_c).reshape(B, -1), axis=1) + 1e-30
+    scale = (num / den) * rhs_peak
+    rel = np.asarray(jnp.abs(scale.reshape(B, 1, 1, 1) * u_raw - u_exact).max()
+                     / peaks.max())
+    np.testing.assert_allclose(
+        np.asarray(scale), np.asarray(peaks[:, 0, 0, 0]), rtol=0.05
+    )
