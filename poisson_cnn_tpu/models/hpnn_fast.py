@@ -74,6 +74,13 @@ class HPNNFastConfig:
     dtype: Optional[str] = "bfloat16"
     normalize_rhs_max_magnitude: bool = False
     output_scaling: Optional[str] = None  # same modes as HPNNConfig
+    # True (default): exact-multiple grids pad up a full block so the zero
+    # margin the trunk learned from 32k+1 training shapes is always present
+    # (see _pad_to_multiple; required for every pre-round-4 checkpoint).
+    # False: exact multiples run unpadded — ONLY for checkpoints trained with
+    # shape jitter (both pad regimes in the training mix), which buys back the
+    # ~27% padding overhead on bench-style power-of-two grids.
+    force_pad_margin: bool = True
 
     def __post_init__(self):
         if self.bc_type not in ("dirichlet", "neumann"):
@@ -123,9 +130,9 @@ class FiLM(nn.Module):
         return x * (1.0 + g.reshape(bshape)) + b.reshape(bshape)
 
 
-def _pad_to_multiple(x: jax.Array, mult: int):
+def _pad_to_multiple(x: jax.Array, mult: int, force_margin: bool = True):
     """Zero-pad spatial dims of (B,*spatial,C) up to a multiple of `mult`,
-    ALWAYS leaving at least one padded cell per dim.
+    by default ALWAYS leaving at least one padded cell per dim.
 
     The zero margin is part of the trained models' boundary encoding: training
     shapes (32k+1 lattices) always produce a margin, and the trunk learns to
@@ -134,12 +141,15 @@ def _pad_to_multiple(x: jax.Array, mult: int):
     measured 62-92%% rel-L2 vs 1-9%% with the margin (same checkpoint, same
     data; see checkpoints/even_grid_fix.json). Exact-multiple inputs therefore
     pad up a full extra block; that is the price of shape-independent
-    correctness, paid only on multiple-sized grids."""
+    correctness, paid only on multiple-sized grids. Models trained with shape
+    jitter (marginless multiples in the training mix) may pass
+    force_margin=False to run exact multiples unpadded."""
     spatial = x.shape[1:-1]
     if mult == 1:
         return x, spatial
     padded = tuple(
-        (s // mult + 1) * mult if s % mult == 0 else -(-s // mult) * mult
+        (s // mult + 1) * mult if (s % mult == 0 and force_margin)
+        else -(-s // mult) * mult
         for s in spatial
     )
     pads = ((0, 0),) + tuple((0, p - s) for s, p in zip(spatial, padded)) + ((0, 0),)
@@ -201,7 +211,7 @@ class HPNNFast(nn.Module):
 
         n_scales = len(cfg.scale_filters)
         r = max(1, int(cfg.input_space_to_depth))
-        x, _ = _pad_to_multiple(x, r * 2 ** n_scales)
+        x, _ = _pad_to_multiple(x, r * 2 ** n_scales, cfg.force_pad_margin)
         if r > 1:
             x = space_to_depth(x, r)
 

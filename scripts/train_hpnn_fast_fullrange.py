@@ -151,6 +151,13 @@ def main():
         "reference's training distribution) instead of reverse-mode data",
     )
     p.add_argument(
+        "--shape-jitter", type=float, default=0.0,
+        help="fraction of steps whose sampled 32k+1 shape is decremented to "
+        "the exact-multiple 32k lattice: trains the marginless pad regime so "
+        "the checkpoint can run with force_pad_margin=False (unpadded "
+        "power-of-two grids at full speed; see _pad_to_multiple)",
+    )
+    p.add_argument(
         "--config-json", default=None,
         help="path to an HPNNFastConfig JSON overriding the default MODEL "
         "(e.g. the bench config so the throughput artifact covers the range)",
@@ -254,6 +261,8 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     for it in range(args.steps):
         shape = sample_shape(rng)
+        if args.shape_jitter > 0 and rng.random() < args.shape_jitter:
+            shape = tuple(s - 1 for s in shape)  # 32k+1 -> exact multiple
         use_coarse = args.mix_coarse > 0 and rng.random() < args.mix_coarse
         cache, factory = (
             (coarse_cache, make_coarse_step) if use_coarse

@@ -767,3 +767,14 @@ def test_pcnn_coarse_anchor_recovers_amplitude():
     np.testing.assert_allclose(
         np.asarray(scale), np.asarray(peaks[:, 0, 0, 0]), rtol=0.05
     )
+
+
+def test_pad_to_multiple_marginless_optout():
+    """force_margin=False (jitter-trained checkpoints only) runs exact
+    multiples unpadded; non-multiples are unchanged."""
+    from poisson_cnn_tpu.models.hpnn_fast import _pad_to_multiple
+
+    p, sp = _pad_to_multiple(jnp.ones((1, 96, 64, 1)), 32, force_margin=False)
+    assert p.shape == (1, 96, 64, 1) and sp == (96, 64)
+    p2, _ = _pad_to_multiple(jnp.ones((1, 97, 65, 1)), 32, force_margin=False)
+    assert p2.shape == (1, 128, 96, 1)
