@@ -82,11 +82,19 @@ SHAPES = (
 
 
 def _unit_peak_pair(batch):
-    nd = batch["soln"].ndim - 2
-    speak = jnp.max(
-        jnp.abs(batch["soln"]).reshape(batch["soln"].shape[0], -1), axis=1
-    ).reshape((-1,) + (1,) * (nd + 1)) + 1e-30
-    return batch["rhs"] / speak, batch["soln"] / speak, batch["dx"]
+    """2-D training convention (scripts/train_hpnn_fast_fullrange.py NORM =
+    rhs_max_magnitude=1.0 + soln_max_magnitude=True, the reference's own
+    `experiments/hpnn.json` normalizations): the generator already peaked the
+    rhs INPUT at 1.0; independently re-peak the unit-peak TARGET.
+
+    The v2/v3 runs instead divided both fields by the solution peak, which
+    left the input amplitude swinging with (m*pi/L)^2 over ~4 orders of
+    magnitude — and disagreed with the coarse-noise step's unit-peak-input
+    convention, so the mixed distributions fought each other (v3: in-family
+    WORSENED to 14.9% as the coarse fraction grew; 2-D, where both paths use
+    unit-peak inputs, improved instead). Unit-peak output models score shape
+    only, so the independent re-peak loses nothing."""
+    return batch["rhs"], set_max_magnitude_in_batch(batch["soln"], 1.0), batch["dx"]
 
 
 def evaluate(model, params, n_batches=10, seed=50_000):
