@@ -14,7 +14,19 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# force CPU: the container's sitecustomize registers the remote-TPU backend in
+# every python process regardless of JAX_PLATFORMS (same workaround as
+# tests/conftest.py) — this diagnostic must not contend with TPU training jobs
+os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax._src.xla_bridge._clear_backends()
+except Exception:
+    pass
+assert jax.devices()[0].platform == "cpu"
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,7 +40,16 @@ SHAPES = (
 )
 
 
+CONVENTION = "old"  # old: pair scaled by soln peak (v2/v3); new: unit-peak input
+
+
 def _unit_peak_pair(batch):
+    if CONVENTION == "new":  # post-fix convention (train_hpnn_fast_3d.py)
+        soln = batch["soln"]
+        nd = soln.ndim - 2
+        speak = jnp.max(jnp.abs(soln).reshape(soln.shape[0], -1), axis=1)
+        soln = soln / (speak.reshape((-1,) + (1,) * (nd + 1)) + 1e-30)
+        return batch["rhs"], soln, batch["dx"]
     nd = batch["soln"].ndim - 2
     speak = jnp.max(
         jnp.abs(batch["soln"]).reshape(batch["soln"].shape[0], -1), axis=1
@@ -84,5 +105,9 @@ def run(ckpt_dir):
 
 
 if __name__ == "__main__":
-    for ckpt in sys.argv[1:]:
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--new-convention":
+        CONVENTION = "new"
+        argv = argv[1:]
+    for ckpt in argv:
         run(ckpt)
