@@ -25,3 +25,4 @@ from . import utils
 from . import ns2d
 from . import train
 from . import native
+from . import api

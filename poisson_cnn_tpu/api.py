@@ -1,0 +1,253 @@
+"""Production inference API: one-call Poisson solves from trained artifacts.
+
+The reference exposes only model classes wired inside training scripts; a
+deployment user has to re-assemble normalization, superposition and amplitude
+restoration by hand (`poisson_CNN/models/Poisson_CNN_Legacy.py:15-51` shows the
+pieces). `PoissonSolver` packages the whole inference path behind one call:
+
+    from poisson_cnn_tpu.api import PoissonSolver
+    solver = PoissonSolver()                       # loads in-repo artifacts
+    u = solver.solve(rhs, dx)                      # homogeneous Dirichlet
+    u = solver.solve(rhs, dx, boundaries={...})    # nonzero Dirichlet edges
+    u_exact = solver.solve_exact(rhs, dx)          # spectral oracle, same API
+
+Semantics:
+  * `rhs` is the PHYSICAL right-hand side of lap(u) = rhs on a rectangular
+    grid with spacing `dx`; the returned field carries physical amplitude
+    (the unit-peak network output is rescaled by the two-grid coarse-anchor
+    estimator, `models.pcnn.coarse_anchor_amplitude`).
+  * boundaries = dict with any of 'left' (u[0, :], length W), 'right'
+    (u[-1, :]), 'top' (u[:, 0], length H), 'bottom' (u[:, -1]) — nonzero
+    Dirichlet edge values, superposed via DBCNN Laplace solves exactly as the
+    reference's combined PCNN.
+  * shapes: rhs (H, W), (B, H, W) or (B, H, W, 1); dx a float, (B, 1) or
+    (B, 2). Any grid size works (models pad internally); every distinct
+    (shape, edges) signature compiles once and is cached.
+
+Artifacts default to the in-repo bench/go-to checkpoints
+(`checkpoints/hpnn_fast`, `checkpoints/dbcnn_fast`); override with explicit
+directories holding `config.json` + `step_N/`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models.dbcnn_fast import DBCNNFast, DBCNNFastConfig
+from .models.hpnn_fast import HPNNFast, load_fast_config
+from .models.pcnn import PCNN, PCNNConfig, coarse_anchor_amplitude
+from .ops import peak_magnitudes
+from .solvers import poisson_solve_dirichlet
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_EDGES = ("left", "top", "right", "bottom")
+
+
+def _latest_step_dir(artifact_dir: str) -> str:
+    """The highest-numbered step_N checkpoint directory under artifact_dir."""
+    steps = [
+        (int(m.group(1)), d)
+        for d in os.listdir(artifact_dir)
+        if (m := re.fullmatch(r"step_(\d+)", d)) and
+        os.path.isdir(os.path.join(artifact_dir, d))
+    ]
+    if not steps:
+        raise FileNotFoundError(f"no step_N checkpoints under {artifact_dir}")
+    return os.path.join(artifact_dir, max(steps)[1])
+
+
+def _load_dbcnn_fast_config(artifact_dir: str) -> DBCNNFastConfig:
+    with open(os.path.join(artifact_dir, "config.json")) as f:
+        d = json.load(f)
+    for k, v in d.items():
+        if isinstance(v, list):
+            d[k] = tuple(v)
+    return DBCNNFastConfig(**d)
+
+
+class PoissonSolver:
+    """One-call CNN Poisson solver over trained fast-family artifacts."""
+
+    def __init__(
+        self,
+        hpnn_dir: Optional[str] = None,
+        dbcnn_dir: Optional[str] = None,
+        jacobi_iterations: int = 0,
+        anchor_resolution: int = 17,
+    ):
+        from .train.loop import restore_checkpoint
+
+        self.hpnn_dir = hpnn_dir or os.path.join(_REPO_ROOT, "checkpoints", "hpnn_fast")
+        self.dbcnn_dir = dbcnn_dir or os.path.join(_REPO_ROOT, "checkpoints", "dbcnn_fast")
+        self.jacobi_iterations = int(jacobi_iterations)
+        self.anchor_resolution = int(anchor_resolution)
+
+        self._hcfg = load_fast_config(os.path.join(self.hpnn_dir, "config.json"))
+        self._hpnn = HPNNFast(self._hcfg)
+        hp = self._hpnn.init(
+            jax.random.PRNGKey(0), jnp.ones((1, 97, 97, 1)), jnp.full((1, 1), 0.01)
+        )
+        self._hpnn_params, _ = restore_checkpoint(_latest_step_dir(self.hpnn_dir), hp)
+
+        # DBCNN components load lazily: homogeneous-BC solves never need them
+        self._dbcnn = None
+        self._pcnn_params = None
+        self._cache: Dict = {}
+
+    # -- lazy boundary-solver assembly --------------------------------------
+    def _ensure_pcnn(self):
+        if self._dbcnn is not None:
+            return
+        from .train.loop import restore_checkpoint
+
+        dcfg = _load_dbcnn_fast_config(self.dbcnn_dir)
+        dbcnn = DBCNNFast(dcfg)
+        dp = dbcnn.init(
+            jax.random.PRNGKey(0), jnp.ones((1, 97, 1)), jnp.full((1, 1), 0.01), 97
+        )
+        dp, _ = restore_checkpoint(_latest_step_dir(self.dbcnn_dir), dp)
+        cfg = PCNNConfig(
+            hpnn_fast=self._hcfg,
+            dbcnn_fast=dcfg,
+            hpnn_scale_mode="coarse_anchor",
+            anchor_resolution=self.anchor_resolution,
+            jacobi_iterations=self.jacobi_iterations,
+        )
+        self._dbcnn = PCNN(cfg)
+        self._pcnn_params = {
+            "params": {
+                "HPNNFast_0": self._hpnn_params["params"],
+                "DBCNNFast_0": dp["params"],
+            }
+        }
+
+    # -- input canonicalization ---------------------------------------------
+    @staticmethod
+    def _canon_rhs(rhs) -> tuple:
+        rhs = jnp.asarray(rhs, jnp.float32)
+        squeeze = rhs.ndim == 2
+        if rhs.ndim == 2:
+            rhs = rhs[None, :, :, None]
+        elif rhs.ndim == 3:
+            rhs = rhs[..., None]
+        elif rhs.ndim != 4:
+            raise ValueError(f"rhs must be (H,W), (B,H,W) or (B,H,W,1); got {rhs.shape}")
+        return rhs, squeeze
+
+    @staticmethod
+    def _canon_dx(dx, B: int) -> jax.Array:
+        dx = jnp.asarray(dx, jnp.float32)
+        if dx.ndim == 0:
+            dx = jnp.full((B, 2), dx)
+        elif dx.ndim == 1:  # (1|2,) shared across the batch
+            dx = jnp.broadcast_to(dx[None], (B, dx.shape[0]))
+        if dx.shape[-1] == 1:
+            dx = jnp.broadcast_to(dx, (B, 2))
+        return dx
+
+    @staticmethod
+    def _canon_edge(val, B: int, length: int, name: str) -> jax.Array:
+        v = jnp.asarray(val, jnp.float32)
+        if v.ndim == 1:
+            v = jnp.broadcast_to(v[None], (B, length))
+        if v.ndim == 2:
+            v = v[..., None]
+        if v.shape != (B, length, 1):
+            raise ValueError(
+                f"boundary '{name}' must have shape ({B},{length}[,1]) or "
+                f"({length},); got {jnp.asarray(val).shape}"
+            )
+        return v
+
+    # -- solve paths ----------------------------------------------------------
+    def _homogeneous_fn(self, shape):
+        """Jitted HPNN-only solve with physical-amplitude restoration."""
+        key = ("h", shape, self.jacobi_iterations)
+        if key not in self._cache:
+            hpnn, nc, n_jac = self._hpnn, self.anchor_resolution, self.jacobi_iterations
+
+            @jax.jit
+            def fn(params, rhs, dx2):
+                peaks = peak_magnitudes(rhs)
+                safe = jnp.where(peaks > 0, peaks, 1.0)
+                rhs_n = rhs / safe[:, None, None, None]
+                u_raw = hpnn.apply(params, rhs_n, dx2)
+                scale = coarse_anchor_amplitude(u_raw, rhs_n, dx2, nc) * peaks
+                u = u_raw * scale[:, None, None, None]
+                if n_jac > 0:
+                    from .solvers import jacobi_smooth
+
+                    u = jacobi_smooth(u, rhs, dx2, n_jac)
+                return u
+
+            self._cache[key] = fn
+        return self._cache[key]
+
+    def _pcnn_fn(self, shape):
+        key = ("p", shape, self.jacobi_iterations)
+        if key not in self._cache:
+            model = self._dbcnn
+
+            @jax.jit
+            def fn(params, rhs, left, top, right, bottom, dx2):
+                return model.apply(params, rhs, left, top, right, bottom, dx2)
+
+            self._cache[key] = fn
+        return self._cache[key]
+
+    def solve(self, rhs, dx, boundaries: Optional[Dict] = None) -> jax.Array:
+        """Solve lap(u) = rhs with homogeneous (default) or per-edge nonzero
+        Dirichlet boundary conditions. Returns u with physical amplitude, in
+        the batch/sample layout the rhs came in."""
+        rhs4, squeeze = self._canon_rhs(rhs)
+        B, H, W, _ = rhs4.shape
+        dx2 = self._canon_dx(dx, B)
+
+        if not boundaries:
+            out = self._homogeneous_fn((B, H, W))(self._hpnn_params, rhs4, dx2)
+        else:
+            unknown = set(boundaries) - set(_EDGES)
+            if unknown:
+                raise ValueError(f"unknown boundary keys {sorted(unknown)}; "
+                                 f"expected subset of {_EDGES}")
+            self._ensure_pcnn()
+            lengths = {"left": W, "right": W, "top": H, "bottom": H}
+            edges = {
+                name: (
+                    self._canon_edge(boundaries[name], B, lengths[name], name)
+                    if name in boundaries
+                    else jnp.zeros((B, lengths[name], 1), jnp.float32)
+                )
+                for name in _EDGES
+            }
+            out = self._pcnn_fn((B, H, W))(
+                self._pcnn_params, rhs4,
+                edges["left"], edges["top"], edges["right"], edges["bottom"], dx2,
+            )
+        return out[0, :, :, 0] if squeeze else out
+
+    def solve_exact(self, rhs, dx) -> jax.Array:
+        """Spectral FD oracle (exact 5-point solve), same input conventions —
+        for accuracy checks against the CNN path (homogeneous Dirichlet)."""
+        rhs4, squeeze = self._canon_rhs(rhs)
+        dx2 = self._canon_dx(dx, rhs4.shape[0])
+        out = poisson_solve_dirichlet(rhs4, dx2, mode="fd")
+        return out[0, :, :, 0] if squeeze else out
+
+
+_default_solver: Optional[PoissonSolver] = None
+
+
+def solve(rhs, dx, boundaries: Optional[Dict] = None) -> jax.Array:
+    """Module-level convenience: `poisson_cnn_tpu.api.solve(rhs, dx)` using a
+    cached default `PoissonSolver` over the in-repo artifacts."""
+    global _default_solver
+    if _default_solver is None:
+        _default_solver = PoissonSolver()
+    return _default_solver.solve(rhs, dx, boundaries)
