@@ -20,13 +20,16 @@ Semantics:
     (u[-1, :]), 'top' (u[:, 0], length H), 'bottom' (u[:, -1]) — nonzero
     Dirichlet edge values, superposed via DBCNN Laplace solves exactly as the
     reference's combined PCNN.
-  * shapes: rhs (H, W), (B, H, W) or (B, H, W, 1); dx a float, (B, 1) or
-    (B, 2). Any grid size works (models pad internally); every distinct
-    (shape, edges) signature compiles once and is cached.
+  * shapes: rhs (H, W), (B, H, W) or (B, H, W, 1) for 2-D; (D, H, W)
+    with a trailing dim != 1, or (B, D, H, W, 1), for 3-D (homogeneous BCs
+    only — routed to the 3-D artifact). dx a float, (B, 1) or (B, nd). Any
+    grid size works (models pad internally); every distinct (shape, edges)
+    signature compiles once and is cached.
 
 Artifacts default to the in-repo bench/go-to checkpoints
-(`checkpoints/hpnn_fast`, `checkpoints/dbcnn_fast`); override with explicit
-directories holding `config.json` + `step_N/`.
+(`checkpoints/hpnn_fast`, `checkpoints/dbcnn_fast`,
+`checkpoints/hpnn_fast_3d_v4`); override with explicit directories holding
+`config.json` + `step_N/`.
 """
 
 from __future__ import annotations
@@ -78,6 +81,7 @@ class PoissonSolver:
         self,
         hpnn_dir: Optional[str] = None,
         dbcnn_dir: Optional[str] = None,
+        hpnn3d_dir: Optional[str] = None,
         jacobi_iterations: int = 0,
         anchor_resolution: int = 17,
     ):
@@ -85,6 +89,9 @@ class PoissonSolver:
 
         self.hpnn_dir = hpnn_dir or os.path.join(_REPO_ROOT, "checkpoints", "hpnn_fast")
         self.dbcnn_dir = dbcnn_dir or os.path.join(_REPO_ROOT, "checkpoints", "dbcnn_fast")
+        self.hpnn3d_dir = hpnn3d_dir or os.path.join(
+            _REPO_ROOT, "checkpoints", "hpnn_fast_3d_v4"
+        )
         self.jacobi_iterations = int(jacobi_iterations)
         self.anchor_resolution = int(anchor_resolution)
 
@@ -95,9 +102,11 @@ class PoissonSolver:
         )
         self._hpnn_params, _ = restore_checkpoint(_latest_step_dir(self.hpnn_dir), hp)
 
-        # DBCNN components load lazily: homogeneous-BC solves never need them
+        # DBCNN and 3-D components load lazily: most callers never need both
         self._dbcnn = None
         self._pcnn_params = None
+        self._hpnn3d = None
+        self._hpnn3d_params = None
         self._cache: Dict = {}
 
     # -- lazy boundary-solver assembly --------------------------------------
@@ -127,28 +136,55 @@ class PoissonSolver:
             }
         }
 
+    def _ensure_hpnn3d(self):
+        if self._hpnn3d is not None:
+            return
+        from .train.loop import restore_checkpoint
+
+        cfg = load_fast_config(os.path.join(self.hpnn3d_dir, "config.json"))
+        self._hpnn3d = HPNNFast(cfg)
+        p = self._hpnn3d.init(
+            jax.random.PRNGKey(0), jnp.ones((1, 33, 33, 33, 1)), jnp.full((1, 3), 0.01)
+        )
+        self._hpnn3d_params, _ = restore_checkpoint(
+            _latest_step_dir(self.hpnn3d_dir), p
+        )
+
     # -- input canonicalization ---------------------------------------------
     @staticmethod
-    def _canon_rhs(rhs) -> tuple:
+    def _canon_rhs(rhs, dx) -> tuple:
+        """Returns (rhs as (B, *spatial, 1), squeeze, nd). Rank rules (see
+        module docstring): 2 -> single 2-D; 3 -> single 3-D volume when dx
+        carries 3 spacings, else batched 2-D; 4 with trailing dim 1 ->
+        batched 2-D, else single 3-D; 5 -> batched 3-D."""
         rhs = jnp.asarray(rhs, jnp.float32)
-        squeeze = rhs.ndim == 2
+        dx_n = jnp.asarray(dx).shape[-1] if jnp.asarray(dx).ndim else 1
+        squeeze = False
         if rhs.ndim == 2:
-            rhs = rhs[None, :, :, None]
+            rhs, squeeze = rhs[None, :, :, None], True
         elif rhs.ndim == 3:
-            rhs = rhs[..., None]
-        elif rhs.ndim != 4:
-            raise ValueError(f"rhs must be (H,W), (B,H,W) or (B,H,W,1); got {rhs.shape}")
-        return rhs, squeeze
+            if dx_n == 3:  # (D, H, W) single volume, disambiguated by dx
+                rhs, squeeze = rhs[None, ..., None], True
+            else:
+                rhs = rhs[..., None]
+        elif rhs.ndim == 4 and rhs.shape[-1] != 1:
+            rhs, squeeze = rhs[None, ..., None], True
+        elif rhs.ndim not in (4, 5):
+            raise ValueError(
+                "rhs must be (H,W)/(B,H,W)/(B,H,W,1) in 2-D or "
+                f"(D,H,W)/(B,D,H,W,1) in 3-D; got {rhs.shape}"
+            )
+        return rhs, squeeze, rhs.ndim - 2
 
     @staticmethod
-    def _canon_dx(dx, B: int) -> jax.Array:
+    def _canon_dx(dx, B: int, nd: int = 2) -> jax.Array:
         dx = jnp.asarray(dx, jnp.float32)
         if dx.ndim == 0:
-            dx = jnp.full((B, 2), dx)
-        elif dx.ndim == 1:  # (1|2,) shared across the batch
+            dx = jnp.full((B, nd), dx)
+        elif dx.ndim == 1:  # (1|nd,) shared across the batch
             dx = jnp.broadcast_to(dx[None], (B, dx.shape[0]))
         if dx.shape[-1] == 1:
-            dx = jnp.broadcast_to(dx, (B, 2))
+            dx = jnp.broadcast_to(dx, (B, nd))
         return dx
 
     @staticmethod
@@ -166,20 +202,22 @@ class PoissonSolver:
         return v
 
     # -- solve paths ----------------------------------------------------------
-    def _homogeneous_fn(self, shape):
+    def _homogeneous_fn(self, shape, nd: int):
         """Jitted HPNN-only solve with physical-amplitude restoration."""
         key = ("h", shape, self.jacobi_iterations)
         if key not in self._cache:
-            hpnn, nc, n_jac = self._hpnn, self.anchor_resolution, self.jacobi_iterations
+            hpnn = self._hpnn if nd == 2 else self._hpnn3d
+            nc, n_jac = self.anchor_resolution, self.jacobi_iterations
 
             @jax.jit
             def fn(params, rhs, dx2):
+                bshape = (rhs.shape[0],) + (1,) * (rhs.ndim - 1)
                 peaks = peak_magnitudes(rhs)
                 safe = jnp.where(peaks > 0, peaks, 1.0)
-                rhs_n = rhs / safe[:, None, None, None]
+                rhs_n = rhs / safe.reshape(bshape)
                 u_raw = hpnn.apply(params, rhs_n, dx2)
                 scale = coarse_anchor_amplitude(u_raw, rhs_n, dx2, nc) * peaks
-                u = u_raw * scale[:, None, None, None]
+                u = u_raw * scale.reshape(bshape)
                 if n_jac > 0:
                     from .solvers import jacobi_smooth
 
@@ -205,18 +243,29 @@ class PoissonSolver:
         """Solve lap(u) = rhs with homogeneous (default) or per-edge nonzero
         Dirichlet boundary conditions. Returns u with physical amplitude, in
         the batch/sample layout the rhs came in."""
-        rhs4, squeeze = self._canon_rhs(rhs)
-        B, H, W, _ = rhs4.shape
-        dx2 = self._canon_dx(dx, B)
+        rhs4, squeeze, nd = self._canon_rhs(rhs, dx)
+        B = rhs4.shape[0]
+        spatial = rhs4.shape[1:-1]
+        dx2 = self._canon_dx(dx, B, nd)
 
         if not boundaries:
-            out = self._homogeneous_fn((B, H, W))(self._hpnn_params, rhs4, dx2)
+            if nd == 3:
+                self._ensure_hpnn3d()
+                params = self._hpnn3d_params
+            else:
+                params = self._hpnn_params
+            out = self._homogeneous_fn((B,) + spatial, nd)(params, rhs4, dx2)
         else:
+            if nd != 2:
+                raise ValueError(
+                    "nonzero boundary superposition is 2-D only (DBCNN edges)"
+                )
             unknown = set(boundaries) - set(_EDGES)
             if unknown:
                 raise ValueError(f"unknown boundary keys {sorted(unknown)}; "
                                  f"expected subset of {_EDGES}")
             self._ensure_pcnn()
+            H, W = spatial
             lengths = {"left": W, "right": W, "top": H, "bottom": H}
             edges = {
                 name: (
@@ -230,15 +279,15 @@ class PoissonSolver:
                 self._pcnn_params, rhs4,
                 edges["left"], edges["top"], edges["right"], edges["bottom"], dx2,
             )
-        return out[0, :, :, 0] if squeeze else out
+        return out[0, ..., 0] if squeeze else out
 
     def solve_exact(self, rhs, dx) -> jax.Array:
         """Spectral FD oracle (exact 5-point solve), same input conventions —
         for accuracy checks against the CNN path (homogeneous Dirichlet)."""
-        rhs4, squeeze = self._canon_rhs(rhs)
-        dx2 = self._canon_dx(dx, rhs4.shape[0])
+        rhs4, squeeze, nd = self._canon_rhs(rhs, dx)
+        dx2 = self._canon_dx(dx, rhs4.shape[0], nd)
         out = poisson_solve_dirichlet(rhs4, dx2, mode="fd")
-        return out[0, :, :, 0] if squeeze else out
+        return out[0, ..., 0] if squeeze else out
 
 
 _default_solver: Optional[PoissonSolver] = None

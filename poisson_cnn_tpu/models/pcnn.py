@@ -51,17 +51,18 @@ def coarse_anchor_amplitude(
 
     Shared by PCNN and the production `api.PoissonSolver` (HPNN-only path).
     Estimates the amplitude scalar to ~1-2% where Laplacian-matching
-    estimators are 25x off (dominated by 1/h^2-amplified CNN output noise)."""
+    estimators are 25x off (dominated by 1/h^2-amplified CNN output noise).
+    Rank-agnostic (1/2/3-D): the anchor grid is anchor_resolution^nd."""
     from ..ops import resize_align_corners
     from ..solvers import poisson_solve_dirichlet
 
     B = u_raw.shape[0]
-    H, W = rhs_n.shape[1], rhs_n.shape[2]
+    spatial = rhs_n.shape[1:-1]
     nc = int(anchor_resolution)
-    rhs_c = resize_align_corners(rhs_n, (nc, nc), "bilinear")
-    dx_c = dx2 * (jnp.array([H - 1, W - 1], dtype=dx2.dtype) / (nc - 1))
+    rhs_c = resize_align_corners(rhs_n, (nc,) * len(spatial), "bilinear")
+    dx_c = dx2 * (jnp.array([s - 1 for s in spatial], dtype=dx2.dtype) / (nc - 1))
     u_c = poisson_solve_dirichlet(rhs_c, dx_c, mode="fd")
-    ur_c = resize_align_corners(u_raw, (nc, nc), "bilinear")
+    ur_c = resize_align_corners(u_raw, (nc,) * len(spatial), "bilinear")
     num = jnp.sum((ur_c * u_c).reshape(B, -1), axis=1)
     den = jnp.sum((ur_c * ur_c).reshape(B, -1), axis=1) + 1e-30
     return num / den

@@ -86,6 +86,28 @@ def test_boundary_superposition(solver):
     assert edge_err < 0.2 * float(jnp.abs(left).max())
 
 
+def test_homogeneous_solve_3d(solver):
+    """(D, H, W) input routes to the 3-D artifact and returns the physical
+    field (3-D v4 holds 5.9% in-family; allow slack for one random sample)."""
+    from poisson_cnn_tpu.data.reverse_nd import ReverseNDConfig, generate_batch_nd
+
+    cfg = ReverseNDConfig(batch_size=2, dx_range=(1e-2, 1e-2),
+                          fourier_mode_range=(1, 3))
+    batch = generate_batch_nd(jax.random.PRNGKey(3), cfg, (33, 33, 33))
+    rhs = batch["rhs"] * 12.5
+    truth = poisson_solve_dirichlet(rhs, batch["dx"], mode="fd")
+    pred = solver.solve(rhs, batch["dx"])
+    assert pred.shape == rhs.shape
+    errs = _rel_l2(pred, truth)
+    assert errs.mean() < 0.15, errs
+    # single-sample (D,H,W) form
+    u1 = solver.solve(rhs[0, :, :, :, 0], batch["dx"][0])
+    assert u1.shape == (33, 33, 33)
+    np.testing.assert_allclose(
+        np.asarray(u1), np.asarray(pred[0, ..., 0]), rtol=0, atol=1e-5
+    )
+
+
 def test_unknown_boundary_key_rejected(solver):
     with pytest.raises(ValueError, match="unknown boundary"):
         solver.solve(jnp.zeros((1, 65, 65, 1)), 1e-2, boundaries={"north": jnp.ones(65)})
