@@ -158,6 +158,12 @@ def main():
         "power-of-two grids at full speed; see _pad_to_multiple)",
     )
     p.add_argument(
+        "--seed", type=int, default=0,
+        help="data-stream seed (shape sampler + PRNG keys). Changing ONLY the "
+        "seed keeps the HLO identical, so a continuation run reuses every "
+        "cached executable while seeing fresh data",
+    )
+    p.add_argument(
         "--config-json", default=None,
         help="path to an HPNNFastConfig JSON overriding the default MODEL "
         "(e.g. the bench config so the throughput artifact covers the range)",
@@ -175,7 +181,7 @@ def main():
         MODEL = HPNNFastConfig(**d)
 
     model = HPNNFast(MODEL)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params = model.init(
@@ -253,7 +259,7 @@ def main():
         return step
 
     coarse_cache = {}
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
     running = []
     best_window = [float("inf")]
