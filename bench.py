@@ -224,7 +224,12 @@ def main():
         "checkpoints/hpnn_fast/eval.json); flagship = reference-scale HPNN",
     )
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=32, help="chained scan length")
+    # 512, not 32: each jitted call through the tunneled backend pays a fixed
+    # ~24ms host<->device round trip (measured in scripts/bench_component_
+    # profile.py). At 32 iters that adds ~0.75ms/batch (-36% on the headline
+    # 2.57ms batch); at 512 it adds <0.05ms. 512 iters x 2.6ms keeps a timed
+    # call ~1.3s, still well inside the driver budget.
+    ap.add_argument("--iters", type=int, default=512, help="chained scan length")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--n", type=int, default=256, help="grid size")
     ap.add_argument(

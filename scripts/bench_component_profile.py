@@ -45,26 +45,42 @@ from poisson_cnn_tpu.ops import (
 )
 
 
-def timed(fn, args_, iters=50, repeats=5):
-    """Dependency-chained scan timing (bench.py methodology): iteration i+1's
+def timed(fn, args_, iters_lo=100, iters_hi=400, repeats=5):
+    """Slope-based dependency-chained scan timing: per-iteration cost is the
+    SLOPE between two chain lengths, (t_hi - t_lo) / (iters_hi - iters_lo).
+
+    A single chained call pays a fixed ~24ms host<->device round trip on the
+    tunneled axon backend (measured: astype @ (128,256,256) costs "2.5ms/iter"
+    at length 10, "0.12ms/iter" at length 800 — pure fixed-overhead dilution).
+    Dividing one call's wall time by its length (the old method, and bench.py
+    at small --iters) overstates every sub-millisecond component by
+    overhead/iters; the slope cancels the fixed cost exactly. Iteration i+1's
     first input is perturbed by iteration i's output mean, so nothing elides."""
 
-    @jax.jit
-    def chained(*a):
-        def body(carry, _):
-            out = fn(a[0] * (1.0 + 1e-12 * carry), *a[1:])
-            return jnp.mean(out.astype(jnp.float32)), None
+    def best_time(iters):
+        @jax.jit
+        def chained(*a):
+            def body(carry, _):
+                # cast back: carry is f32, and a bf16 input silently promoting
+                # to f32 adds a full-size upcast+downcast bandwidth pass that
+                # can dominate a small component's measurement
+                perturbed = (a[0] * (1.0 + 1e-12 * carry)).astype(a[0].dtype)
+                out = fn(perturbed, *a[1:])
+                return jnp.mean(out.astype(jnp.float32)), None
 
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return carry
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return carry
 
-    jax.device_get(chained(*args_))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
         jax.device_get(chained(*args_))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters * 1e3  # ms
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.device_get(chained(*args_))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = best_time(iters_lo), best_time(iters_hi)
+    return max(t_hi - t_lo, 0.0) / (iters_hi - iters_lo) * 1e3  # ms
 
 
 def main():
