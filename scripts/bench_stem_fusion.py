@@ -112,8 +112,11 @@ def make_pallas_stem(H, W, Cin, F, k, blk):
                 ys, w2_ref[t * F : (t + 1) * F, :],
                 preferred_element_type=jnp.float32,
             )
-        z = (acc_ref[:].reshape(blk, H, W, F) + b2_ref[0]).astype(out_ref.dtype)
-        out_ref[:] = jnp.where(z >= 0, z, 0.01 * z)
+        # leaky-relu on the f32 accumulator BEFORE the bf16 downcast: a
+        # where/select on bf16 values crashes this Mosaic remote compiler
+        # (bisected: identical kernels compile with f32 where, die with bf16)
+        z = acc_ref[:].reshape(blk, H, W, F) + b2_ref[0]
+        out_ref[:] = jnp.where(z >= 0, z, 0.01 * z).astype(out_ref.dtype)
 
     @jax.jit
     def run(x, w1, b1, w2, b2):
