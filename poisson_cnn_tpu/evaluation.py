@@ -2,7 +2,8 @@
 solver-computed ground truth.
 
 This is the quantitative harness behind BASELINE.md's accuracy target
-("paper-level relative L2 error on variable-size grids") — the reference has no
+(explicit bar: <=5% mean rel-L2 on held-out variable-size grids; the paper
+arXiv:1910.08613 is unreachable from this environment) — the reference has no
 dedicated evaluation module; its accuracy claims live in the paper.
 """
 

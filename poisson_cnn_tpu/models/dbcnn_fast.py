@@ -12,19 +12,45 @@ spends the learned capacity only where analytic structure runs out:
    domain with the *discrete* 5-point decay profile (the exact per-mode decay
    of the discrete Laplace operator, the sinh basis family the reference
    embeds at `Dirichlet_BC_NN_Legacy.py:106-112`, evaluated stably with all
-   exponents <= 0). The prior is exact for boundaries band-limited to
-   n_modes (e.g. the series training family); rough/coarse-noise boundaries
-   leave an out-of-band remainder concentrated near the boundary row.
+   exponents <= 0). At the default full band (n_modes=0 -> M=W-2) the prior
+   IS the exact discrete solution of the one-edge Laplace problem for ANY
+   boundary — fp32 round-off is ~5e-6 rel-L2 (measured 97x97) — because the
+   DST-I diagonalizes the interior problem completely. A positive n_modes
+   truncates the band (the round-4 configuration, n_modes=48: ~2% mean /
+   8% p90 out-of-band remainder on coarse-noise boundaries).
 2. **Learned correction** (bf16-able): an HPNNFast-style folded conv trunk
    (space-to-depth -> separable stem -> strided encoder/decoder with
    dx/aspect FiLM conditioning -> subpixel head) sees [prior, boundary lift,
    positional embeddings] and predicts a residual. The final projection is
    zero-initialized, so the untrained model *is* the prior and training only
-   learns what the prior misses: the out-of-band (truncated) boundary
-   content of rough/coarse-noise boundaries.
+   learns what the prior misses — nothing in the full-band default (the
+   trunk exists for the generalizations where analytic structure runs out:
+   truncated-band configs, and as the template for variable-coefficient /
+   mixed-BC extensions).
 
 Same call signature and output conventions as DBCNN (unit-peak output, BC row
 re-imposed at x index 0) so it drops into the PCNN superposition unchanged.
+
+Output normalization (fixed in round 5): the unit-peak convention is applied
+to the FULL field including the re-imposed boundary row. By the discrete
+maximum principle the Laplace field attains its max on that row, so for a
+unit-peak input boundary the scaling is an exact no-op and the output equals
+the raw discrete solution — which is what the PCNN superposition contract
+(`pcnn.py:181`, output * boundary peak) requires by linearity. The round-4
+code normalized the field BEFORE re-imposing the row (mirroring the
+reference's `Dirichlet_BC_NN_Legacy.py:158`); for coarse-noise boundaries
+whose peak sits at/near an endpoint (absent from the DST interior
+reconstruction) that inflated the whole field by 1/peak(prior).
+
+Corner convention (also fixed in round 5): the two endpoints of the
+re-imposed boundary row are set to zero — they belong to the adjacent
+homogeneous edges of the one-edge problem (the ground-truth solver writes
+perpendicular edges last, `solvers/spectral.py:144-155`), and they never
+enter the discrete interior problem. Returning them verbatim was the
+dominant term of the round-4 9.4% coarse-noise column: coarse-noise
+boundaries have O(1) endpoints (series boundaries have zero endpoints,
+which is why the in-family column never saw it), and two O(1) point
+mismatches against the fast-decaying field norm measured as ~8% rel-L2.
 """
 
 from __future__ import annotations
@@ -41,7 +67,6 @@ from ..ops import (
     compute_domain_sizes,
     cos_position_embeddings,
     resize_align_corners,
-    set_max_magnitude_in_batch,
 )
 from ..layers import PadConv, norm_layer
 from ..utils import resolve_activation
@@ -87,7 +112,7 @@ def discrete_decay_profiles(
 
 @dataclasses.dataclass(frozen=True)
 class DBCNNFastConfig:
-    n_modes: int = 48  # DST truncation of the prior (capped at W-2 at runtime)
+    n_modes: int = 0  # 0 = full band (W-2, exact prior); >0 truncates the DST
     input_space_to_depth: int = 4
     stem_filters: int = 48
     stem_kernel_size: int = 5
@@ -123,7 +148,7 @@ class DBCNNFast(nn.Module):
         bc32 = bc[..., 0].astype(jnp.float32)  # (B, W)
         yhat = jnp.linspace(0.0, 1.0, W, dtype=jnp.float32)
         xhat = jnp.linspace(0.0, 1.0, H, dtype=jnp.float32)
-        M = min(cfg.n_modes, W - 2)
+        M = W - 2 if cfg.n_modes <= 0 else min(cfg.n_modes, W - 2)
         coeffs = dst_coefficients(bc32[:, 1:-1], M)  # (B, M)
         phi = discrete_decay_profiles(M, H, W, dx2.astype(jnp.float32))
         mth = jnp.arange(1, M + 1, dtype=jnp.float32)
@@ -194,7 +219,25 @@ class DBCNNFast(nn.Module):
         residual = out[:, :H, :W, :]
 
         out = prior + residual.astype(jnp.float32)
-        out = set_max_magnitude_in_batch(out, 1.0, eps=1e-30)
-        out = out.astype(bc.dtype)
-        # re-impose the boundary row at x_hat = 0 (same convention as DBCNN)
-        return jnp.concatenate([bc[:, None, :, :], out[:, 1:, :, :]], axis=1)
+        # unit-peak convention over the FULL field (bc row re-imposed first):
+        # by the discrete maximum principle peak(full) == peak(bc) == 1 for a
+        # unit-peak boundary, so this is an exact no-op on clean fields and the
+        # output is the raw discrete solution the PCNN superposition needs;
+        # the bc row itself is kept exact (only interior rows are scaled).
+        full = jnp.concatenate(
+            [bc.astype(jnp.float32)[:, None, :, :], out[:, 1:, :, :]], axis=1
+        )
+        peak = jnp.max(jnp.abs(full.reshape(B, -1)), axis=1)
+        scale = jnp.where(peak > 1e-30, 1.0 / jnp.maximum(peak, 1e-30), 0.0)
+        interior = (out[:, 1:, :, :] * scale[:, None, None, None]).astype(bc.dtype)
+        # Corner convention: the two endpoints of the re-imposed row are the
+        # endpoints of the adjacent (homogeneous) edges of the one-edge Laplace
+        # problem, so they are zero — matching the truth assembly order in
+        # `solvers/spectral.py:apply_dirichlet_boundaries` (perpendicular edges
+        # written last) and the reference's solver restore
+        # (`poisson_CNN/dataset/solvers/cholesky.py:122-186`). Corner values
+        # never enter the discrete interior problem; for series-family
+        # boundaries (sine endpoints = 0) this is a no-op, but for coarse-noise
+        # boundaries with O(1) endpoints it was the whole round-4 9.4% column.
+        bc_row = bc[:, None, :, :].at[:, :, 0, :].set(0.0).at[:, :, -1, :].set(0.0)
+        return jnp.concatenate([bc_row, interior], axis=1)

@@ -190,6 +190,17 @@ class PCNN(nn.Module):
         u_b = jnp.flip(jnp.swapaxes(u_b, 1, 2), axis=2)
 
         pred = u_h + u_l + u_r + u_t + u_b
+        # The four Dirichlet traces are *inputs* — impose them exactly on the
+        # output border (perpendicular edges last, the same assembly order as
+        # the ground-truth solver, `solvers/spectral.py:144-155`, and the
+        # reference's solver restore `poisson_CNN/dataset/solvers/cholesky.py:
+        # 122-186`). Each edge sub-network only approximates the border nodes
+        # it doesn't own (corners in particular); the known boundary data is
+        # free and exact. Interior values are untouched.
+        pred = pred.at[:, 0, :, :].set(left.astype(pred.dtype))
+        pred = pred.at[:, -1, :, :].set(right.astype(pred.dtype))
+        pred = pred.at[:, :, 0, :].set(top.astype(pred.dtype))
+        pred = pred.at[:, :, -1, :].set(bottom.astype(pred.dtype))
         if self.cfg.jacobi_iterations > 0:
             pred = JacobiIterationLayer(self.cfg.jacobi_iterations)(pred, rhs, dx2)
         return pred

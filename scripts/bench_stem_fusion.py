@@ -165,12 +165,25 @@ def main():
     args = ap.parse_args()
 
     cfg = load_fast_config()
+    if cfg.activation != "leaky_relu":
+        # variants B/C hardcode leaky_relu(0.01); a different activation would
+        # make the timing comparison apples-to-oranges
+        raise SystemExit(
+            f"bench config activation is {cfg.activation!r}; variants B/C "
+            "assume 'leaky_relu' — refusing to produce a mismatched comparison"
+        )
     r = cfg.input_space_to_depth
     H = W = args.n // r
     Cin = 3 * r * r
     F = cfg.stem_filters
     k = cfg.stem_kernel_size
     B = args.batch
+    if B % args.blk != 0:
+        raise SystemExit(
+            f"--batch {B} must be divisible by --blk {args.blk}: the Pallas "
+            "grid is (B // blk,) and a remainder would leave trailing output "
+            "rows unwritten (silently corrupting diff and timing)"
+        )
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, H, W, Cin), jnp.bfloat16)
 
@@ -190,7 +203,16 @@ def main():
             prev = json.load(f)
         out["variants_ms"].update(prev.get("variants_ms", {}))
         out["max_abs_diff"].update(prev.get("max_abs_diff", {}))
+        # drop stale C entries from BOTH dicts: if the fresh Pallas run fails
+        # below, the saved JSON must not pair a stale C diff with a new error
         out["variants_ms"].pop("C_pallas_fused", None)
+        out["max_abs_diff"].pop("C_pallas_fused", None)
+    elif args.skip_ab:
+        print(
+            f"WARNING: --skip-ab but {path} does not exist; the output will "
+            "have no A/B timings",
+            file=sys.stderr,
+        )
     else:
         out["variants_ms"]["A_separable_flax"] = round(
             timed(lambda v: stem.apply(params, v), (x,)), 4

@@ -41,7 +41,7 @@ from poisson_cnn_tpu.models import DBCNNFast, DBCNNFastConfig
 from poisson_cnn_tpu.train.loop import save_checkpoint, restore_checkpoint
 
 MODEL = DBCNNFastConfig(
-    n_modes=48,
+    n_modes=0,  # full band: the prior is the exact discrete one-edge solution
     input_space_to_depth=4,
     stem_filters=48,
     scale_filters=(96,),

@@ -1,8 +1,8 @@
 """Train a mid-size HPNN on variable-grid reverse-mode data and evaluate
 relative-L2 accuracy against held-out analytic solutions.
 
-Reproducible accuracy demonstration (BASELINE.md: "paper-level relative L2
-error on variable-size grids"). Runs on whatever accelerator the environment
+Reproducible accuracy demonstration (BASELINE.md bar, stated explicitly as
+<=5% mean relative-L2 error on variable-size grids). Runs on whatever accelerator the environment
 provides; writes a checkpoint + eval.json under checkpoints/hpnn_demo/.
 
 Usage: python scripts/train_hpnn_demo.py [--steps N] [--eval-only CKPT]
