@@ -8,7 +8,10 @@ we precompute small dense (n_out, n_in) matrices with numpy (shapes are static
 under jit) and contract them — MXU matmuls instead of gather-based resizes.
 
 Methods: 'nearest', 'bilinear' (linear per axis), 'bicubic' (Catmull-Rom per
-axis, clamped edges).
+axis, clamped edges), 'bicubic_tf' (Keys cubic with a=-0.75 — the kernel
+`tf.image.resize`'s BICUBIC uses, for users who need bit-comparable outputs
+with the reference's resize; TF quantizes its kernel table to 1000 bins, so
+agreement is ~1e-3, verified in tests/test_reference_parity.py).
 """
 
 from __future__ import annotations
@@ -41,15 +44,22 @@ def resize_matrix(n_in: int, n_out: int, method: str = "bilinear") -> np.ndarray
         mat[np.arange(n_out), lo] = 1.0 - t
         mat[np.arange(n_out), lo + 1] = t
         return mat
-    if method == "bicubic":
-        # Catmull-Rom weights with clamped out-of-range taps
-        w_m1 = 0.5 * (-t + 2 * t**2 - t**3)
-        w_0 = 0.5 * (2 - 5 * t**2 + 3 * t**3)
-        w_1 = 0.5 * (t + 4 * t**2 - 3 * t**3)
-        w_2 = 0.5 * (-(t**2) + t**3)
-        for off, w in ((-1, w_m1), (0, w_0), (1, w_1), (2, w_2)):
+    if method in ("bicubic", "bicubic_tf"):
+        # Keys cubic (a=-0.5 is Catmull-Rom, the default; a=-0.75 is the
+        # tf.image.resize kernel) with clamped out-of-range taps
+        a = -0.5 if method == "bicubic" else -0.75
+
+        def keys(s):
+            s = np.abs(s)
+            return np.where(
+                s <= 1,
+                (a + 2) * s**3 - (a + 3) * s**2 + 1,
+                np.where(s < 2, a * (s**3 - 5 * s**2 + 8 * s - 4), 0.0),
+            )
+
+        for off in (-1, 0, 1, 2):
             idx = np.clip(lo + off, 0, n_in - 1)
-            np.add.at(mat, (np.arange(n_out), idx), w)
+            np.add.at(mat, (np.arange(n_out), idx), keys(t - off))
         return mat
     raise ValueError(f"unknown resize method {method}")
 

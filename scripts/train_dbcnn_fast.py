@@ -121,6 +121,30 @@ def main():
         print(json.dumps(evaluate(model, params), indent=2))
         return
 
+    if args.steps == 0:
+        # With n_modes=0 the analytic prior is the exact discrete one-edge
+        # solution for ANY boundary (fp32 round-off ~5e-6), so the
+        # zero-initialized trunk is already the optimum on this family and
+        # adam noise could only degrade it. Save the init as the artifact;
+        # trainability of the trunk is covered by
+        # tests/test_models.py::test_dbcnn_fast_coarse_noise_prior_reasonable_and_trainable.
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(MODEL), f, indent=2)
+        path = save_checkpoint(args.out, params, 0)
+        metrics = evaluate(model, params)
+        metrics["checkpoint"] = path
+        metrics["steps"] = 0
+        metrics["note"] = (
+            "full-band DST prior (n_modes=0) is the exact discrete one-edge "
+            "Laplace solution; the zero-initialized residual trunk is the "
+            "optimum on this family, so the artifact is the untrained init"
+        )
+        with open(os.path.join(args.out, "eval.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(metrics, indent=2))
+        return
+
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, 200, args.steps, args.lr * 0.05
     )

@@ -131,12 +131,23 @@ def main():
         help="fraction of steps trained on 3-D coarse-noise data (the v2 "
         "recipe that fixed the 2-D out-of-family gap)",
     )
+    p.add_argument(
+        "--shape-jitter", type=float, default=0.0,
+        help="fraction of steps whose 16k+1 shape is decremented to the "
+        "exact-multiple lattice (the 2-D v5-v7 marginless-regime rung of the "
+        "recipe ladder, scripts/train_hpnn_fast_fullrange.py)",
+    )
+    p.add_argument(
+        "--seed", type=int, default=0,
+        help="data-stream seed; changing ONLY the seed keeps the HLO "
+        "identical so a continuation run reuses every cached executable",
+    )
     p.add_argument("--model", choices=("default", "wide"), default="default")
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_fast_3d")
     args = p.parse_args()
 
     model = HPNNFast(MODEL_WIDE if args.model == "wide" else MODEL)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params = model.init(
@@ -212,13 +223,15 @@ def main():
         return step
 
     coarse_cache = {}
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
     running = []
     best = [float("inf"), None]
     os.makedirs(args.out, exist_ok=True)
     for it in range(args.steps):
         shape = SHAPES[rng.integers(len(SHAPES))]
+        if args.shape_jitter > 0 and rng.random() < args.shape_jitter:
+            shape = tuple(s - 1 for s in shape)  # 16k+1 -> exact multiple
         use_coarse = args.mix_coarse > 0 and rng.random() < args.mix_coarse
         cache, factory = (
             (coarse_cache, make_coarse_step) if use_coarse
