@@ -86,6 +86,75 @@ def ref_cholesky():
 
 
 @lru_cache(maxsize=1)
+def ref_pkg_utils():
+    """The reference's `poisson_CNN.utils` package (TF-only)."""
+    import importlib.util
+
+    if "poisson_CNN" not in sys.modules:
+        m = types.ModuleType("poisson_CNN")
+        m.__path__ = []
+        sys.modules["poisson_CNN"] = m
+    path = os.path.join(REF, "utils")
+    spec = importlib.util.spec_from_file_location(
+        "poisson_CNN.utils",
+        os.path.join(path, "__init__.py"),
+        submodule_search_locations=[path],
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["poisson_CNN.utils"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_ref_submodule(dotted: str, relpath: str):
+    """Load a single reference module under its true dotted name so its
+    relative imports resolve against the already-loaded synthetic parents."""
+    import importlib.util
+
+    parent = dotted.rsplit(".", 1)[0]
+    if parent not in sys.modules:
+        m = types.ModuleType(parent)
+        m.__path__ = []
+        sys.modules[parent] = m
+    spec = importlib.util.spec_from_file_location(dotted, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[dotted] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@lru_cache(maxsize=1)
+def ref_spp():
+    ref_utils()  # poisson_CNN.dataset.utils must exist for the relative import
+    return _load_ref_submodule(
+        "poisson_CNN.layers.SpatialPyramidPool", "layers/SpatialPyramidPool.py"
+    )
+
+
+@lru_cache(maxsize=1)
+def ref_jacobi_layer():
+    ref_utils()
+    ref_pkg_utils()
+    _load_ref_submodule(
+        "poisson_CNN.layers.metalearning_conv", "layers/metalearning_conv.py"
+    )
+    return _load_ref_submodule(
+        "poisson_CNN.layers.JacobiIterationLayer", "layers/JacobiIterationLayer.py"
+    )
+
+
+@lru_cache(maxsize=1)
+def ref_resnet():
+    ref_pkg_utils()
+    return _load_ref_submodule("poisson_CNN.blocks.resnet", "blocks/resnet.py")
+
+
+@lru_cache(maxsize=1)
+def ref_image_resize():
+    return _load_module("_ref_image_resize", os.path.join(REF, "dataset/utils/image_resize.py"))
+
+
+@lru_cache(maxsize=1)
 def ref_integral_loss():
     return _load_module("_ref_integral_loss", os.path.join(REF, "losses/integral_loss.py"))
 
@@ -418,3 +487,167 @@ def test_cholesky_solve_matches_reference():
             interior[c] = False
         err = np.max(np.abs(ours - ref)[interior]) / np.max(np.abs(ref))
         assert err < 1e-4, solver.__name__
+
+
+# ---------------------------------------------------------------------------
+# layer-level parity (the remaining half of the TF-output north star):
+# these execute the reference's LAYER code — resize, SPP, Jacobi sweep,
+# resnet block — on identical inputs (and, for resnet, identical weights)
+# ---------------------------------------------------------------------------
+
+
+def test_image_resize_matches_reference():
+    """`ops.resize_align_corners` vs the reference's batched bicubic
+    align-corners resize (`dataset/utils/image_resize.py:5-30`, the coarse-noise
+    dataset upsampler). TF's BICUBIC kernel is Keys a=-0.75 quantized to a
+    1000-bin table, so 'bicubic_tf' agrees to ~1e-3; BILINEAR align-corners is
+    exact linear interpolation, so 'bilinear' agrees to fp32 tolerance."""
+    from poisson_cnn_tpu.ops import resize_align_corners
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((3, 2, 9, 13)).astype(np.float32)  # NCHW
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    newshape = (23, 17)
+
+    for tf_method, our_method, tol in [
+        (tf.image.ResizeMethod.BILINEAR, "bilinear", 1e-6),
+        (tf.image.ResizeMethod.BICUBIC, "bicubic_tf", 2e-3),
+    ]:
+        ref = (
+            ref_image_resize()
+            .image_resize(tf.constant(x), list(newshape), resize_method=tf_method)
+            .numpy()
+        )
+        ours = np.transpose(
+            np.asarray(resize_align_corners(x_nhwc, newshape, our_method)),
+            (0, 3, 1, 2),
+        )
+        assert rel_err(ours, ref) < tol, our_method
+
+
+def test_spatial_pyramid_pool_matches_reference():
+    """`layers.core.spatial_pyramid_pool` vs the reference layer
+    (`layers/SpatialPyramidPool.py:29-66`): same level spec, same bin-edge
+    splits, per-bin mean over the whole (C, h, w) slab, levels concatenated in
+    meshgrid-ij order. Checked for average and max pooling."""
+    from poisson_cnn_tpu.layers.core import spatial_pyramid_pool
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 3, 12, 17))  # NCHW float64
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)), jnp.float32)
+    levels = [[2, 2], 3, 5]
+
+    for pooling in ("average", "max"):
+        mod = ref_spp().SpatialPyramidPool(
+            [list(l) if isinstance(l, list) else l for l in levels],
+            ndims=2,
+            pooling_type=pooling,
+        )
+        ref = mod(tf.constant(x)).numpy()  # (B, 4+9+25)
+        ours = np.asarray(spatial_pyramid_pool(x_nhwc, levels, pooling))
+        assert ours.shape == ref.shape
+        assert rel_err(ours, ref) < 1e-5, pooling
+
+
+def test_spatial_pyramid_pool_masked_matches_reference():
+    """The reference's padded-input SPP (`SpatialPyramidPool.py:29-45`) crops
+    to the mask's top-left valid rectangle before binning — mathematically SPP
+    of the cropped tensor. Execute the reference's masked path and check it
+    against the rebuild on the equivalent crop. (The rebuild's own mask arg
+    generalizes to per-sample masks by masking within full-extent bins, a
+    deliberately different — batchable — semantic.)"""
+    from poisson_cnn_tpu.layers.core import spatial_pyramid_pool
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 3, 14, 15))
+    h_valid, w_valid = 11, 9
+    pad_mask = np.zeros((14, 15), dtype=bool)
+    pad_mask[:h_valid, :w_valid] = True
+    levels = [[2, 2], 3]
+
+    mod = ref_spp().SpatialPyramidPool(
+        [list(l) if isinstance(l, list) else l for l in levels],
+        ndims=2,
+        receive_padded_values=True,
+    )
+    ref = mod([tf.constant(x), tf.constant(pad_mask)]).numpy()
+
+    x_crop = jnp.asarray(
+        np.transpose(x[:, :, :h_valid, :w_valid], (0, 2, 3, 1)), jnp.float32
+    )
+    ours = np.asarray(spatial_pyramid_pool(x_crop, levels))
+    assert ours.shape == ref.shape
+    assert rel_err(ours, ref) < 1e-5
+
+
+def test_jacobi_iteration_layer_matches_reference():
+    """`solvers.jacobi_smooth` (the math inside `layers.core.JacobiIterationLayer`)
+    vs the reference's differentiable post-smoother
+    (`layers/JacobiIterationLayer.py:44-53`): identical 5-point stencil from the
+    same FD machinery, per-sample dx, interior-only update with frozen boundary.
+    The reference's sweep is plain (unweighted) Jacobi == omega=1."""
+    from poisson_cnn_tpu.solvers import jacobi_smooth
+
+    rng = np.random.default_rng(10)
+    b, h, w = 2, 9, 12
+    u0 = rng.standard_normal((b, h, w, 1))
+    rhs = rng.standard_normal((b, h, w, 1))
+    dx = rng.uniform(0.05, 0.2, size=(b, 2))
+
+    layer = ref_jacobi_layer().JacobiIterationLayer(
+        [3, 3], [2, 2], data_format="channels_last", n_iterations=3
+    )
+    ref = layer(
+        [tf.constant(u0), tf.constant(rhs), tf.constant(dx)]
+    ).numpy()  # (B, H, W, 1)
+
+    ours = np.asarray(
+        jacobi_smooth(
+            jnp.asarray(u0, jnp.float32),
+            jnp.asarray(rhs, jnp.float32),
+            jnp.asarray(dx, jnp.float32),
+            n_iterations=3,
+            omega=1.0,
+        )
+    )
+    assert rel_err(ours, ref) < 1e-5
+
+
+def test_resnet_block_matches_reference():
+    """`layers.core.ResNetBlock` vs the reference's 3-conv residual block
+    (`blocks/resnet.py:29-39`) with TRANSPLANTED weights: build the reference
+    block (channels_last, symmetric padding, relu convs), copy its kernels and
+    biases into the rebuild's params (both are HWIO), and compare outputs."""
+    import jax
+
+    from poisson_cnn_tpu.layers.core import ResNetBlock
+
+    rng = np.random.default_rng(11)
+    b, h, w, c = 2, 10, 11, 3
+    x = rng.standard_normal((b, h, w, c))
+
+    mod = ref_resnet().resnet(
+        ndims=2,
+        use_batchnorm=False,
+        padding_mode="symmetric",
+        filters=c,
+        kernel_size=5,
+        activation="relu",
+        use_bias=True,
+        data_format="channels_last",
+    )
+    ref = mod(tf.constant(x)).numpy()
+
+    block = ResNetBlock(
+        features=c, kernel_size=5, activation="relu", padding_mode="symmetric"
+    )
+    params = block.init(jax.random.PRNGKey(0), jnp.asarray(x, jnp.float32))
+    p = params["params"]
+    for i, conv in enumerate(mod.conv_layers):
+        kern, bias = [v.numpy().astype(np.float32) for v in conv.weights]
+        leaf = p[f"PadConv_{i}"]["Conv_0"]
+        assert leaf["kernel"].shape == kern.shape
+        leaf["kernel"] = jnp.asarray(kern)
+        leaf["bias"] = jnp.asarray(bias)
+    ours = np.asarray(block.apply({"params": p}, jnp.asarray(x, jnp.float32)))
+    assert rel_err(ours, ref) < 1e-5
