@@ -43,10 +43,11 @@ import jax
 import jax.numpy as jnp
 
 from .models.dbcnn_fast import DBCNNFast, DBCNNFastConfig
+from .models.hpnn import HPNN, HPNNConfig
 from .models.hpnn_fast import HPNNFast, load_fast_config
 from .models.pcnn import PCNN, PCNNConfig, coarse_anchor_amplitude
 from .ops import peak_magnitudes
-from .solvers import poisson_solve_dirichlet
+from .solvers import poisson_solve_dirichlet, poisson_solve_neumann_vertex
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _EDGES = ("left", "top", "right", "bottom")
@@ -74,6 +75,15 @@ def _load_dbcnn_fast_config(artifact_dir: str) -> DBCNNFastConfig:
     return DBCNNFastConfig(**d)
 
 
+def _load_hpnn_config(artifact_dir: str) -> HPNNConfig:
+    with open(os.path.join(artifact_dir, "config.json")) as f:
+        d = json.load(f)
+    for k, v in d.items():
+        if isinstance(v, list):
+            d[k] = tuple(v)
+    return HPNNConfig(**d)
+
+
 class PoissonSolver:
     """One-call CNN Poisson solver over trained fast-family artifacts."""
 
@@ -84,10 +94,15 @@ class PoissonSolver:
         hpnn3d_dir: Optional[str] = None,
         jacobi_iterations: int = 0,
         anchor_resolution: int = 17,
+        bc_type: str = "dirichlet",
     ):
         from .train.loop import restore_checkpoint
 
-        self.hpnn_dir = hpnn_dir or os.path.join(_REPO_ROOT, "checkpoints", "hpnn_fast")
+        if bc_type not in ("dirichlet", "neumann"):
+            raise ValueError(f"bc_type must be 'dirichlet' or 'neumann', got {bc_type!r}")
+        self.bc_type = bc_type
+        default_hpnn = "hpnn_fast" if bc_type == "dirichlet" else "hpnn_neumann"
+        self.hpnn_dir = hpnn_dir or os.path.join(_REPO_ROOT, "checkpoints", default_hpnn)
         self.dbcnn_dir = dbcnn_dir or os.path.join(_REPO_ROOT, "checkpoints", "dbcnn_fast")
         self.hpnn3d_dir = hpnn3d_dir or os.path.join(
             _REPO_ROOT, "checkpoints", "hpnn_fast_3d_v4"
@@ -95,8 +110,15 @@ class PoissonSolver:
         self.jacobi_iterations = int(jacobi_iterations)
         self.anchor_resolution = int(anchor_resolution)
 
-        self._hcfg = load_fast_config(os.path.join(self.hpnn_dir, "config.json"))
-        self._hpnn = HPNNFast(self._hcfg)
+        if bc_type == "neumann":
+            # vertex-grid Neumann HPNN (the reference's deployed NS solver
+            # configuration, `Navier_Stokes_2D/solvers.py:29-33`); the
+            # NS-specialized fine-tune lives at checkpoints/hpnn_neumann_inloop
+            self._hcfg = _load_hpnn_config(self.hpnn_dir)
+            self._hpnn = HPNN(self._hcfg)
+        else:
+            self._hcfg = load_fast_config(os.path.join(self.hpnn_dir, "config.json"))
+            self._hpnn = HPNNFast(self._hcfg)
         hp = self._hpnn.init(
             jax.random.PRNGKey(0), jnp.ones((1, 97, 97, 1)), jnp.full((1, 1), 0.01)
         )
@@ -208,6 +230,7 @@ class PoissonSolver:
         if key not in self._cache:
             hpnn = self._hpnn if nd == 2 else self._hpnn3d
             nc, n_jac = self.anchor_resolution, self.jacobi_iterations
+            bc = self.bc_type
 
             @jax.jit
             def fn(params, rhs, dx2):
@@ -216,8 +239,8 @@ class PoissonSolver:
                 safe = jnp.where(peaks > 0, peaks, 1.0)
                 rhs_n = rhs / safe.reshape(bshape)
                 u_raw = hpnn.apply(params, rhs_n, dx2)
-                scale = coarse_anchor_amplitude(u_raw, rhs_n, dx2, nc) * peaks
-                u = u_raw * scale.reshape(bshape)
+                scale = coarse_anchor_amplitude(u_raw, rhs_n, dx2, nc, bc_type=bc)
+                u = u_raw * (scale * peaks).reshape(bshape)
                 if n_jac > 0:
                     from .solvers import jacobi_smooth
 
@@ -250,12 +273,19 @@ class PoissonSolver:
 
         if not boundaries:
             if nd == 3:
+                if self.bc_type == "neumann":
+                    raise ValueError("the Neumann route is 2-D (no 3-D Neumann artifact)")
                 self._ensure_hpnn3d()
                 params = self._hpnn3d_params
             else:
                 params = self._hpnn_params
             out = self._homogeneous_fn((B,) + spatial, nd)(params, rhs4, dx2)
         else:
+            if self.bc_type == "neumann":
+                raise ValueError(
+                    "nonzero-edge superposition is Dirichlet-only; "
+                    "bc_type='neumann' solves homogeneous Neumann problems"
+                )
             if nd != 2:
                 raise ValueError(
                     "nonzero boundary superposition is 2-D only (DBCNN edges)"
@@ -283,10 +313,14 @@ class PoissonSolver:
 
     def solve_exact(self, rhs, dx) -> jax.Array:
         """Spectral FD oracle (exact 5-point solve), same input conventions —
-        for accuracy checks against the CNN path (homogeneous Dirichlet)."""
+        for accuracy checks against the CNN path (homogeneous BCs of the
+        solver's bc_type; Neumann truth is zero-weighted-mean)."""
         rhs4, squeeze, nd = self._canon_rhs(rhs, dx)
         dx2 = self._canon_dx(dx, rhs4.shape[0], nd)
-        out = poisson_solve_dirichlet(rhs4, dx2, mode="fd")
+        if self.bc_type == "neumann":
+            out = poisson_solve_neumann_vertex(rhs4, dx2, mode="fd")
+        else:
+            out = poisson_solve_dirichlet(rhs4, dx2, mode="fd")
         return out[0, ..., 0] if squeeze else out
 
 

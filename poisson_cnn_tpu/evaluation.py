@@ -60,6 +60,7 @@ def evaluate_hpnn_coarse_noise(
     dx_range: Tuple[float, float] = (5e-3, 5e-2),
     batch_size: int = 32,
     normalize_like_training: bool = True,
+    bc_type: str = "dirichlet",
 ) -> Dict[str, float]:
     """OUT-OF-FAMILY protocol: coarse-noise random RHS (the reference's own
     training distribution — uniform noise on a coarse control grid, bicubic
@@ -83,6 +84,14 @@ def evaluate_hpnn_coarse_noise(
     true of every in-repo artifact). For a physically-scaled model (e.g.
     match_peak_laplacian), pass normalize_like_training=False and score against
     the raw solver solution.
+
+    bc_type='neumann' (2-D only) Neumann-izes the protocol for the vertex-grid
+    Neumann artifacts (the reference's deployed NS configuration,
+    `Navier_Stokes_2D/solvers.py:29-33`): the coarse-noise RHS is projected onto
+    the solvable subspace (weighted zero mean), truth comes from the DCT-I
+    vertex Neumann solve, and — the solution being defined only up to a
+    constant — pred and truth are mean-removed (then both unit-peaked under
+    normalize_like_training) before the rel-L2.
     """
     from .data import GridSamplingConfig
     from .data.numerical import (
@@ -94,9 +103,20 @@ def evaluate_hpnn_coarse_noise(
         set_max_magnitude_in_batch,
         set_max_magnitude_in_batch_and_return_scaling_factors,
     )
-    from .solvers import poisson_solve_dirichlet
+    from .solvers import poisson_solve_dirichlet, poisson_solve_neumann_vertex
 
     ndims = len(grid_shapes[0])
+    if bc_type == "neumann" and ndims != 2:
+        raise ValueError("the Neumann coarse-noise protocol is 2-D (vertex DCT-I)")
+
+    def _trapezoid_mean_removed(x):
+        """Subtract the per-sample weighted mean (endpoint weight 1/2 per axis
+        — the DCT-I zero-mode projection weights)."""
+        w0 = jnp.ones((x.shape[1],)).at[0].set(0.5).at[-1].set(0.5)
+        w1 = jnp.ones((x.shape[2],)).at[0].set(0.5).at[-1].set(0.5)
+        W = (w0[:, None] * w1[None, :])[None, :, :, None]
+        mean = jnp.sum(x * W, axis=(1, 2, 3), keepdims=True) / jnp.sum(W)
+        return x - mean
     cfg = None
     if ndims == 2:
         # keep the exact round-3 2-D protocol (same key splits/draws) so the
@@ -128,11 +148,20 @@ def evaluate_hpnn_coarse_noise(
         else:
             batch = nd_batch(jax.random.PRNGKey(seed + i), shape)
         rhs, soln = batch["rhs"], batch["soln"]
+        if bc_type == "neumann":
+            rhs = _trapezoid_mean_removed(rhs)  # solvable subspace
+            soln = poisson_solve_neumann_vertex(rhs, batch["dx"], mode="fd")
         if normalize_like_training:
             rhs, f = set_max_magnitude_in_batch_and_return_scaling_factors(rhs, 1.0)
             soln = soln * f.reshape((-1,) + (1,) * (soln.ndim - 1))
             soln = set_max_magnitude_in_batch(soln, 1.0)
         pred = apply_fn(rhs, batch["dx"])
+        if bc_type == "neumann":
+            pred = _trapezoid_mean_removed(pred)
+            soln = _trapezoid_mean_removed(soln)
+            if normalize_like_training:
+                pred = set_max_magnitude_in_batch(pred, 1.0)
+                soln = set_max_magnitude_in_batch(soln, 1.0)
         errs.append(np.asarray(relative_l2(pred, soln)))
     return summarize(np.concatenate(errs))
 

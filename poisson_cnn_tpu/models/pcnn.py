@@ -42,6 +42,7 @@ def coarse_anchor_amplitude(
     rhs_n: jax.Array,
     dx2: jax.Array,
     anchor_resolution: int = 17,
+    bc_type: str = "dirichlet",
 ) -> jax.Array:
     """Two-grid amplitude anchor (the `hpnn_scale_mode='coarse_anchor'`
     estimator): restrict the unit-peak rhs to a tiny anchor grid, solve that
@@ -54,15 +55,23 @@ def coarse_anchor_amplitude(
     estimators are 25x off (dominated by 1/h^2-amplified CNN output noise).
     Rank-agnostic (1/2/3-D): the anchor grid is anchor_resolution^nd."""
     from ..ops import resize_align_corners
-    from ..solvers import poisson_solve_dirichlet
+    from ..solvers import poisson_solve_dirichlet, poisson_solve_neumann_vertex
 
     B = u_raw.shape[0]
     spatial = rhs_n.shape[1:-1]
     nc = int(anchor_resolution)
     rhs_c = resize_align_corners(rhs_n, (nc,) * len(spatial), "bilinear")
     dx_c = dx2 * (jnp.array([s - 1 for s in spatial], dtype=dx2.dtype) / (nc - 1))
-    u_c = poisson_solve_dirichlet(rhs_c, dx_c, mode="fd")
     ur_c = resize_align_corners(u_raw, (nc,) * len(spatial), "bilinear")
+    if bc_type == "neumann":
+        # vertex-grid Neumann anchor; the solution is defined up to a constant
+        # and the anchor solve is zero-weighted-mean, so fit mean-removed fields
+        u_c = poisson_solve_neumann_vertex(rhs_c, dx_c, mode="fd")
+        mean_axes = tuple(range(1, ur_c.ndim))
+        ur_c = ur_c - jnp.mean(ur_c, axis=mean_axes, keepdims=True)
+        u_c = u_c - jnp.mean(u_c, axis=mean_axes, keepdims=True)
+    else:
+        u_c = poisson_solve_dirichlet(rhs_c, dx_c, mode="fd")
     num = jnp.sum((ur_c * u_c).reshape(B, -1), axis=1)
     den = jnp.sum((ur_c * ur_c).reshape(B, -1), axis=1) + 1e-30
     return num / den

@@ -2,6 +2,7 @@ from .spectral import (
     poisson_solve,
     poisson_solve_dirichlet,
     poisson_solve_neumann,
+    poisson_solve_neumann_vertex,
     lift_dirichlet_boundaries,
     apply_dirichlet_boundaries,
 )

@@ -51,6 +51,29 @@ def _dct2_matrices(n: int):
     return fwd, inv
 
 
+@lru_cache(maxsize=None)
+def _dct1_matrices(n: int):
+    """DCT-I synthesis/analysis pair for the VERTEX-centered Neumann operator.
+
+    V[i, k] = cos(pi k i / N) with N = n-1 are the right-eigenvectors of the
+    mirror-ghost (u_{-1} = u_1) 1-D FD Laplacian on n vertex points — the
+    discrete operator the reference's Neumann HPNN family trains against
+    (cosine-series solutions, `dataset/generators/reverse_neumann.py:9-66`,
+    satisfy the mirror condition exactly). Analysis (V^{-1}) in closed form:
+    A[k, i] = (2/N) * w_k * w_i * cos(pi k i / N), w_0 = w_N = 1/2 else 1.
+    Returns (analysis, synthesis) to mirror `_dct2_matrices`'s (fwd, inv).
+    """
+    N = n - 1
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    table = np.cos(np.pi * k * i / N)
+    w = np.ones(n)
+    w[0] = w[-1] = 0.5
+    analysis = (2.0 / N) * w[:, None] * w[None, :] * table
+    synthesis = table.T  # V[i, k] = cos(pi k i / N) (symmetric table)
+    return analysis, synthesis
+
+
 def _apply_axis(x: jax.Array, mat: jax.Array, axis: int) -> jax.Array:
     """Contract matrix (m, n) against spatial `axis` (0 or 1) of (B, n0, n1, C)."""
     return jnp.moveaxis(jnp.tensordot(mat, x, axes=[[1], [1 + axis]]), 0, 1 + axis)
@@ -213,3 +236,50 @@ def poisson_solve_neumann(
     fhat = fhat.at[:, 0, 0, :].set(0.0)
     uhat = fhat / denom
     return _apply_axis(_apply_axis(uhat, i0, 0), i1, 1)
+
+
+def poisson_solve_neumann_vertex(
+    rhs: jax.Array, dx: jax.Array, mode: str = "fd"
+) -> jax.Array:
+    """Solve lap(u) = rhs with homogeneous Neumann BCs on a VERTEX grid
+    (mirror-ghost operator, DCT-I basis), zero-weighted-mean solution with the
+    incompatible zero mode projected out.
+
+    This is the grid convention of the trained Neumann HPNN artifacts (cosine
+    series on linspace(0, L, n) — the reference's Neumann family,
+    `models/Homogeneous_Poisson_NN_Legacy.py:106-113` SYMMETRIC re-padding +
+    `dataset/generators/reverse_neumann.py`); `poisson_solve_neumann` is its
+    cell-centered (DCT-II) twin used by the NS pressure projection.
+    """
+    B, n0, n1, C = rhs.shape
+    dtype = rhs.dtype
+    if dx.shape[-1] == 1:
+        dx = jnp.broadcast_to(dx, (B, 2))
+    a0, s0 = _dct1_matrices(n0)
+    a1, s1 = _dct1_matrices(n1)
+    a0 = jnp.asarray(a0, dtype=dtype)
+    s0 = jnp.asarray(s0, dtype=dtype)
+    a1 = jnp.asarray(a1, dtype=dtype)
+    s1 = jnp.asarray(s1, dtype=dtype)
+    fhat = _apply_axis(_apply_axis(rhs, a0, 0), a1, 1)
+    m0 = jnp.arange(n0, dtype=dtype)
+    m1 = jnp.arange(n1, dtype=dtype)
+    if mode == "fd":
+        lam0 = (2.0 * jnp.cos(math.pi * m0 / (n0 - 1)) - 2.0)[None, :, None, None] / (
+            dx[:, 0] ** 2
+        )[:, None, None, None]
+        lam1 = (2.0 * jnp.cos(math.pi * m1 / (n1 - 1)) - 2.0)[None, None, :, None] / (
+            dx[:, 1] ** 2
+        )[:, None, None, None]
+    elif mode == "continuous":
+        L0 = dx[:, 0] * (n0 - 1)
+        L1 = dx[:, 1] * (n1 - 1)
+        lam0 = -((m0 * math.pi)[None, :, None, None] / L0[:, None, None, None]) ** 2
+        lam1 = -((m1 * math.pi)[None, None, :, None] / L1[:, None, None, None]) ** 2
+    else:
+        raise ValueError(f"unknown mode {mode}")
+    denom = lam0 + lam1
+    denom = denom.at[:, 0, 0, :].set(1.0)
+    fhat = fhat.at[:, 0, 0, :].set(0.0)
+    uhat = fhat / denom
+    return _apply_axis(_apply_axis(uhat, s0, 0), s1, 1)

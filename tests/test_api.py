@@ -121,3 +121,39 @@ def test_solve_exact_matches_spectral(solver):
         np.asarray(poisson_solve_dirichlet(rhs, dx, mode="fd")),
         atol=1e-6,
     )
+
+
+@pytest.fixture(scope="module")
+def neumann_solver():
+    return PoissonSolver(bc_type="neumann")
+
+
+def test_neumann_route_in_family(neumann_solver):
+    """bc_type='neumann' solves a cosine-series (in-family) problem with
+    physical amplitude against the DCT-I vertex oracle (the reference's
+    deployed NS configuration, `Navier_Stokes_2D/solvers.py:29-33`)."""
+    cfg = ReverseConfig(
+        batch_size=4,
+        grids=GridSamplingConfig(((65, 65), (65, 65)), (5e-3, 5e-3)),
+        fourier_mode_range=(1, 4),
+        bc="neumann",
+        include_taylor=False,
+    )
+    batch = generate_batch(jax.random.PRNGKey(3), cfg, (65, 65))
+    rhs = batch["rhs"] * 11.0
+    pred = np.asarray(neumann_solver.solve(rhs, batch["dx"]))
+    truth = np.asarray(neumann_solver.solve_exact(rhs, batch["dx"]))
+    # Neumann fields are defined up to a constant: compare mean-removed
+    pred = pred - pred.mean(axis=(1, 2, 3), keepdims=True)
+    truth = truth - truth.mean(axis=(1, 2, 3), keepdims=True)
+    errs = _rel_l2(jnp.asarray(pred), jnp.asarray(truth))
+    assert errs.mean() < 0.2, errs  # artifact holds 5.7% in-family
+
+
+def test_neumann_route_rejects_boundaries_and_3d(neumann_solver):
+    with pytest.raises(ValueError, match="Dirichlet-only"):
+        neumann_solver.solve(
+            jnp.zeros((1, 33, 33, 1)), 1e-2, boundaries={"left": jnp.ones(33)}
+        )
+    with pytest.raises(ValueError, match="2-D"):
+        neumann_solver.solve(jnp.zeros((1, 17, 17, 17, 1)), jnp.full((1, 3), 1e-2))

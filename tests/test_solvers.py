@@ -84,6 +84,47 @@ def test_neumann_solver_fd_consistency():
     assert rel < 1e-3, rel
 
 
+def test_neumann_vertex_solver_fd_exact():
+    """`poisson_solve_neumann_vertex` inverts the mirror-ghost (u[-1]=u[1])
+    VERTEX-grid operator exactly (the trained Neumann artifacts' convention,
+    reference `dataset/generators/reverse_neumann.py:9-66`)."""
+    key = jax.random.PRNGKey(11)
+    B, n0, n1 = 2, 17, 21
+    dx = jnp.tile(jnp.asarray([[0.05, 0.04]]), (B, 1))
+    f = jax.random.normal(key, (B, n0, n1, 1))
+    u = solvers.poisson_solve_neumann_vertex(f, dx, mode="fd")
+    # mirror-ghost Laplacian (u_{-1} = u_1 -> 'reflect' padding)
+    up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    lap = (
+        (up[:, 2:, 1:-1] - 2 * u + up[:, :-2, 1:-1]) / dx[:, 0][:, None, None, None] ** 2
+        + (up[:, 1:-1, 2:] - 2 * u + up[:, 1:-1, :-2]) / dx[:, 1][:, None, None, None] ** 2
+    )
+    # residual must equal f minus its weighted zero mode (solvability projection)
+    w0 = jnp.ones((n0,)).at[0].set(0.5).at[-1].set(0.5)
+    w1 = jnp.ones((n1,)).at[0].set(0.5).at[-1].set(0.5)
+    W = (w0[:, None] * w1[None, :])[None, :, :, None]
+    f_proj = f - jnp.sum(f * W, axis=(1, 2, 3), keepdims=True) / jnp.sum(W)
+    rel = float(jnp.linalg.norm(lap - f_proj) / jnp.linalg.norm(f_proj))
+    assert rel < 1e-4, rel
+
+
+def test_neumann_vertex_solver_continuous_matches_eigenfunction():
+    """cos(2 pi x/L0) cos(3 pi y/L1) is an exact continuous-mode solution."""
+    import numpy as np
+
+    n0, n1 = 17, 21
+    dx = jnp.asarray([[0.05, 0.04]])
+    L0, L1 = 0.05 * (n0 - 1), 0.04 * (n1 - 1)
+    x = np.linspace(0, L0, n0)
+    y = np.linspace(0, L1, n1)
+    uex = np.cos(2 * np.pi * x / L0)[:, None] * np.cos(3 * np.pi * y / L1)[None, :]
+    lam = -((2 * np.pi / L0) ** 2) - (3 * np.pi / L1) ** 2
+    rhs = jnp.asarray(lam * uex, jnp.float32)[None, :, :, None]
+    u = solvers.poisson_solve_neumann_vertex(rhs, dx, mode="continuous")
+    rel = float(jnp.linalg.norm(u[0, :, :, 0] - uex) / jnp.linalg.norm(uex))
+    assert rel < 1e-5, rel
+
+
 def test_cg_matches_spectral():
     u, b, dx = _random_dirichlet_problem(jax.random.PRNGKey(2), n0=17, n1=17)
     u_cg = solvers.conjugate_gradient(b, dx, n_iterations=400)
