@@ -152,10 +152,17 @@ class KernelHypernetwork(nn.Module):
         cout = self.kernel_shape[-1]
         n_out = n_kernel + (cout if self.use_bias else 0)
         flat = nn.Dense(
-            n_out, kernel_init=nn.initializers.variance_scaling(0.1, "fan_in", "truncated_normal")
+            n_out, kernel_init=nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
         )(h)
+        # Scale the generated kernel by the *generated conv's* fan-in
+        # (cin * prod(ks)) so a MetaConv has ~unit gain at init regardless of
+        # kernel size/width.  Without this, each layer amplifies activations
+        # by ~sqrt(cin*k^2)*entry_std and a 10-layer stack blows up to ~1e5
+        # (round-5 zoo diagnosis: MetaHPNN init rel-L2 ~1.9e5).
+        conv_fan_in = float(np.prod(self.kernel_shape[:-1]))
         kernels = flat[:, :n_kernel].reshape((-1,) + self.kernel_shape)
-        biases = flat[:, n_kernel:] if self.use_bias else None
+        kernels = kernels * (conv_fan_in ** -0.5)
+        biases = 0.1 * flat[:, n_kernel:] if self.use_bias else None
         return kernels, biases
 
 

@@ -39,7 +39,19 @@ class DBCRNN(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype) if cfg.dtype else bc.dtype
         B, W, C = bc.shape
-        h = bc.astype(dtype)
+        # condition on grid geometry: the Laplace field's decay rate away from
+        # the boundary is set by the domain aspect ratio, which the boundary
+        # values alone cannot reveal (round-5 zoo fix: dx was accepted but
+        # ignored, capping variable-grid accuracy ~40%)
+        H = int(x_output_resolution)
+        if dx.shape[-1] == 1:
+            dx2 = jnp.broadcast_to(dx, (B, 2))
+        else:
+            dx2 = dx
+        L = dx2 * jnp.array([[H - 1, W - 1]], dtype=dx2.dtype)
+        geom = jnp.concatenate([dx2, L / jnp.max(L, axis=1, keepdims=True)], -1)
+        geom = jnp.broadcast_to(geom[:, None, :], (B, W, 4)).astype(dtype)
+        h = jnp.concatenate([bc.astype(dtype), geom], axis=-1)
         for _ in range(cfg.n_layers):
             cell = (
                 nn.OptimizedLSTMCell(cfg.hidden_size, dtype=dtype)
@@ -47,9 +59,11 @@ class DBCRNN(nn.Module):
                 else nn.GRUCell(cfg.hidden_size, dtype=dtype)
             )
             h = nn.RNN(cell)(h)  # (B, W, hidden)
-        strip = nn.Dense(cfg.strip_width, dtype=dtype)(h)  # (B, W, strip)
+        strip = nn.Dense(cfg.strip_width, dtype=dtype)(
+            jnp.concatenate([h, geom], axis=-1)
+        )  # (B, W, strip)
         strip = jnp.swapaxes(strip, 1, 2)[..., None]  # (B, strip, W, 1)
-        out = Upsample(cfg.resize_method)(strip, (int(x_output_resolution), W))
+        out = Upsample(cfg.resize_method)(strip, (H, W))
         out = out.astype(bc.dtype)
         # re-impose the boundary row like the DBCNN
         return jnp.concatenate([bc[:, None, :, :], out[:, 1:, :, :]], axis=1)

@@ -48,6 +48,11 @@ class MetaHPNNConfig:
     activation: str = "leaky_relu"
     use_positional_embeddings: bool = True
     bc_type: str = "dirichlet"
+    # bound the output like the fast family: the training data convention is
+    # unit-peak solutions (soln_max_magnitude), and without bounding the
+    # hypernetwork stack's free overall scale makes optimization chase
+    # amplitude instead of shape (round-5 zoo fix)
+    output_scaling: Optional[str] = "soln_max_magnitude"
     dtype: Optional[str] = None
 
 
@@ -107,6 +112,8 @@ class MetaHPNN(nn.Module):
             act = cfg.activation if i < len(cfg.final_filters) - 1 else "linear"
             x = MetaConv(f, k, act, hidden_units=cfg.hidden_units)(x, dense_inp)
 
+        if cfg.output_scaling == "soln_max_magnitude":
+            x = set_max_magnitude_in_batch(x, 1.0, eps=1e-30)
         inner = x[:, 1:-1, 1:-1, :]
         if cfg.bc_type == "dirichlet":
             x = jnp.pad(inner, ((0, 0), (1, 1), (1, 1), (0, 0)))
