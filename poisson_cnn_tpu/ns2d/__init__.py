@@ -21,6 +21,7 @@ from .stepper import (
     NSConfig,
     cg_pressure_solver,
     cnn_pressure_initializer,
+    coarse_residual_corrected_initializer,
     dct_pressure_solver,
     initial_state,
     make_stepper,

@@ -138,6 +138,78 @@ def cg_pressure_solver(grid: MACGrid, n_iterations: int = 200,
     return solve
 
 
+def coarse_residual_corrected_initializer(
+    grid: MACGrid, base: Optional[Callable] = None, coarse: int = 17,
+    post_smooth: int = 4,
+):
+    """Initial-guess transformer: x0 -> x0 + P(exact coarse solve of the
+    residual).
+
+    The low-frequency error modes are the ones CG reduces slowest (their
+    Laplacian eigenvalues are smallest, so they barely register in the
+    residual norm CG minimizes over). This removes them explicitly: restrict
+    r = rhs - lap(x0) to a `coarse`^2 cell-centered grid, solve the Neumann
+    Poisson problem there EXACTLY (DCT-II, same machinery as the PCNN coarse
+    anchor, `models/pcnn.py:40-68`), and prolongate the correction back with
+    cubic interpolation. `jax.image.resize` uses the half-pixel-center
+    convention, which is exactly the cell-centered MAC alignment; cubic
+    beats bilinear here because the prolongation's derivative kinks carry a
+    1/h^2-amplified residual (measured at 100^2, three-mode rhs: linear
+    start rel-residual 1.32, cubic 0.19).
+
+    `post_smooth` damped-Jacobi sweeps (omega=0.8, exact variable Neumann
+    diagonal — NEGATIVE, the sign of lap's diagonal; the flipped sign
+    diverges ~2.6x per sweep) damp the remaining injection error. Measured
+    (same rhs): cubic ps=4 gives field rel-L2 0.011 and start rel-residual
+    0.08 vs the zero start's 1.0. This is the standard two-grid cycle shape:
+    restrict -> coarse solve -> prolongate -> smooth.
+
+    Cost accounting: one fine-grid operator application (the residual) +
+    one per smoothing sweep + an O(coarse^2 log coarse) solve — charge
+    1 + post_smooth CG iterations when comparing budgets. With base=None the
+    corrected start is the prolongated coarse solve of rhs itself (a two-grid
+    zero start — the fair baseline row for the CNN + correction experiment,
+    VERDICT round-4 #5).
+    """
+    cgrid = MACGrid(coarse, coarse, grid.x0, grid.x1, grid.y0, grid.y1)
+    coarse_solve = dct_pressure_solver(cgrid)
+
+    def lap(p):
+        pc = jnp.pad(p, ((1, 1), (1, 1)), mode="edge")
+        return (
+            (pc[2:, 1:-1] - 2 * p + pc[:-2, 1:-1]) / grid.dx**2
+            + (pc[1:-1, 2:] - 2 * p + pc[1:-1, :-2]) / grid.dy**2
+        )
+
+    m, n = grid.m, grid.n
+    import numpy as _np  # diagonal is static
+    ddx = _np.full((m, n), 2.0)
+    ddx[0, :] -= 1.0
+    ddx[-1, :] -= 1.0
+    ddy = _np.full((m, n), 2.0)
+    ddy[:, 0] -= 1.0
+    ddy[:, -1] -= 1.0
+    # diag of the PHYSICAL operator lap() is NEGATIVE (-2/dx^2-2/dy^2
+    # interior); keeping the sign matters — the flipped-sign update diverges,
+    # amplifying the prolongation kinks ~2.6x per sweep (measured)
+    diag = -jnp.asarray(ddx / grid.dx**2 + ddy / grid.dy**2)
+
+    def init(rhs):
+        rhs = rhs - jnp.mean(rhs)
+        x0 = jnp.zeros_like(rhs) if base is None else base(rhs)
+        x0 = x0 - jnp.mean(x0)
+        r = rhs - lap(x0)
+        rc = jax.image.resize(r, (coarse, coarse), "cubic")
+        ec = coarse_solve(rc - jnp.mean(rc))
+        e = jax.image.resize(ec, rhs.shape, "cubic")
+        x = x0 + e
+        for _ in range(post_smooth):
+            x = x + 0.8 * (rhs - lap(x)) / diag
+        return x - jnp.mean(x)
+
+    return init
+
+
 def cnn_pressure_initializer(
     model, params, grid: MACGrid, match_peak=None,
     noise_floor: float = 0.0, amplitude: str = "lstsq",

@@ -172,6 +172,14 @@ def main():
         results[pname] = table
 
     # --- 2. iteration savings on the loop's own pressure RHS fields ---
+    # Round-5 (VERDICT #5): residual-space coarse correction. The CNN start's
+    # error is broad-spectrum, so residual-norm tolerances barely move; the
+    # coarse DCT solve of the RESIDUAL removes exactly the low-mode component
+    # CG is slowest on. Fairness rows: the same correction applied to the zero
+    # start (two-grid baseline) — the CNN must beat THAT to claim value.
+    # Budget: the correction costs 1 fine operator apply; charge +1 iteration.
+    init_coarse_zero = ns2d.coarse_residual_corrected_initializer(grid)
+    init_coarse_cnn = ns2d.coarse_residual_corrected_initializer(grid, init)
     savings = {}
     for pname, (problem, Re) in problems.items():
         cfg = ns2d.NSConfig(method="alg1", Re=Re, dt=args.dt,
@@ -187,14 +195,30 @@ def main():
             guess = init(rhs)
             h0, f0 = cg_residual_history(grid, rhs, 200, exact=exact)
             hc, fc = cg_residual_history(grid, rhs, 200, x0=guess, exact=exact)
+            hz2, fz2 = cg_residual_history(
+                grid, rhs, 200, x0=init_coarse_zero(rhs), exact=exact)
+            hc2, fc2 = cg_residual_history(
+                grid, rhs, 200, x0=init_coarse_cnn(rhs), exact=exact)
             row = {"step": int(i),
                    "rhs_peak": float(jnp.abs(rhs).max()),
                    "start_rel_residual_zero": float(h0[0]),
                    "start_rel_residual_cnn": float(hc[0]),
-                   "cnn_field_rel_l2": float(fc[0])}
+                   "start_rel_residual_coarse_zero": float(hz2[0]),
+                   "start_rel_residual_coarse_cnn": float(hc2[0]),
+                   "cnn_field_rel_l2": float(fc[0]),
+                   "coarse_zero_field_rel_l2": float(fz2[0]),
+                   "coarse_cnn_field_rel_l2": float(fc2[0])}
             for tol in (1e-1, 1e-2, 1e-3):
                 row[f"iters_zero_tol{tol:g}"] = iters_to_tol(h0, tol)
                 row[f"iters_cnn_tol{tol:g}"] = iters_to_tol(hc, tol)
+                # +5: residual apply + 4 post-smooth sweeps inside the
+                # correction, each one fine-grid operator application
+                z2 = iters_to_tol(hz2, tol)
+                c2 = iters_to_tol(hc2, tol)
+                row[f"iters_coarse_zero_tol{tol:g}"] = (
+                    None if z2 is None else z2 + 5)
+                row[f"iters_coarse_cnn_tol{tol:g}"] = (
+                    None if c2 is None else c2 + 5)
             # iterations the zero start needs to match the CNN's instant field
             # error (the CNN's real value: a direct approximator, not a Krylov
             # preconditioner — its error is broad-spectrum, so residual-norm
@@ -246,11 +270,11 @@ def main():
         vals = [r[key] for r in rows if r.get(key) is not None]
         return float(np.mean(vals)) if vals else None
 
-    def savings_pct(rows, tol):
+    def savings_pct(rows, tol, vs="cnn"):
         pairs = [
-            (r[f"iters_zero_tol{tol:g}"], r[f"iters_cnn_tol{tol:g}"])
+            (r[f"iters_zero_tol{tol:g}"], r[f"iters_{vs}_tol{tol:g}"])
             for r in rows
-            if r.get(f"iters_zero_tol{tol:g}") and r.get(f"iters_cnn_tol{tol:g}")
+            if r.get(f"iters_zero_tol{tol:g}") and r.get(f"iters_{vs}_tol{tol:g}")
         ]
         if not pairs:
             return None
@@ -270,6 +294,25 @@ def main():
         },
         "cg_iteration_savings_pct_tol1e-1": {
             p_: savings_pct(rows, 1e-1) for p_, rows in savings.items()
+        },
+        # round-5 residual-space coarse correction (VERDICT #5): savings vs
+        # the plain zero start, for the corrected CNN start AND the corrected
+        # zero start (the two-grid baseline the CNN must beat)
+        "cg_iteration_savings_pct_tol1e-3_coarse_cnn": {
+            p_: savings_pct(rows, 1e-3, "coarse_cnn")
+            for p_, rows in savings.items()
+        },
+        "cg_iteration_savings_pct_tol1e-3_coarse_zero": {
+            p_: savings_pct(rows, 1e-3, "coarse_zero")
+            for p_, rows in savings.items()
+        },
+        "mean_coarse_cnn_field_rel_l2": {
+            p_: mean_over(rows, "coarse_cnn_field_rel_l2")
+            for p_, rows in savings.items()
+        },
+        "mean_coarse_zero_field_rel_l2": {
+            p_: mean_over(rows, "coarse_zero_field_rel_l2")
+            for p_, rows in savings.items()
         },
         # CG iterations a zero start needs to reach the CNN's INSTANT field
         # error (the projection loop consumes the field, not the residual)
