@@ -217,12 +217,103 @@ def bench_train(args):
     }
 
 
+def _time_chained_forward(model, params, rhs, dx, iters, repeats, dev):
+    """Shared un-elidable chained-scan forward timing (see module docstring).
+    Returns (solves_per_sec, flops_per_call, implied_flops, peak)."""
+
+    def fwd(params, rhs, dx):
+        return model.apply(params, rhs, dx)
+
+    flops_per_call = _graph_flops(fwd, params, rhs, dx)
+
+    @jax.jit
+    def chained(params, rhs, dx):
+        def body(carry, _):
+            r = rhs * (1.0 + 1e-12 * carry)
+            out = fwd(params, r, dx)
+            return jnp.mean(out.astype(jnp.float32)), None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return carry
+
+    jax.device_get(chained(params, rhs, dx))
+    best_dt = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.device_get(chained(params, rhs, dx))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+
+    batch = rhs.shape[0]
+    solves_per_sec = batch * iters / best_dt
+    implied_flops = flops_per_call * iters / best_dt
+    peak = _peak_flops(dev)
+    if flops_per_call and implied_flops > peak:
+        raise SystemExit(
+            f"BENCH INVALID: implied {implied_flops/1e12:.1f} TFLOP/s exceeds "
+            f"{dev.device_kind} peak {peak/1e12:.0f} TFLOP/s — the timing did "
+            "not measure real execution. Refusing to report."
+        )
+    return solves_per_sec, flops_per_call, implied_flops, peak
+
+
+_FAST3D_CONFIG = "/root/repo/checkpoints/hpnn_fast_3d_v5/config.json"
+
+
+def bench_fast3d(args, dev=None):
+    """3-D solves/sec + MFU at args.n3d^3 on the trained 3-D artifact config
+    (VERDICT round-4 #2: the 'beats the reference's broken N-D model' claim
+    needs a speed number; reference model
+    /root/reference/poisson_CNN/models/Homogeneous_Poisson_NN.py is
+    rank-general but broken as shipped). Batch default 16 sizes 65^3 bf16
+    activations to v5e HBM."""
+    from poisson_cnn_tpu.models.hpnn_fast import HPNNFast, HPNNFastConfig
+
+    with open(_FAST3D_CONFIG) as f:
+        cfg_dict = json.load(f)
+    cfg_dict["scale_filters"] = tuple(cfg_dict["scale_filters"])
+    cfg_dict["dx_mlp_units"] = tuple(cfg_dict["dx_mlp_units"])
+    model = HPNNFast(HPNNFastConfig(**cfg_dict))
+
+    n, batch = args.n3d, args.batch3d
+    if dev is None:
+        dev = _acquire_device()
+    rhs = jnp.ones((batch, n, n, n, 1), dtype=jnp.float32)
+    dx = jnp.full((batch, 1), 2.0 / (n - 1), dtype=jnp.float32)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1, n, n, n, 1), dtype=jnp.float32),
+            jnp.full((1, 1), 2.0 / (n - 1), dtype=jnp.float32),
+        )
+    params = jax.device_put(params, dev)
+    iters = args.iters3d
+    solves_per_sec, flops_per_call, implied_flops, peak = _time_chained_forward(
+        model, params, rhs, dx, iters, args.repeats, dev
+    )
+    return {
+        "metric": f"HPNN-fast3d {n}^3 Poisson solves/sec (single chip)",
+        "value": round(solves_per_sec, 2),
+        "unit": "solves/sec",
+        "vs_baseline": None,
+        "detail": {
+            "batch": batch,
+            "chained_iters": iters,
+            "gflop_per_solve": round(flops_per_call / batch / 1e9, 3),
+            "implied_tflops": round(implied_flops / 1e12, 2),
+            "mfu_vs_bf16_peak": round(implied_flops / peak, 4),
+            "device_kind": str(getattr(dev, "device_kind", "unknown")),
+            "config": _FAST3D_CONFIG,
+        },
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--model",
         default="fast",
-        choices=["fast", "flagship"],
+        choices=["fast", "flagship", "fast3d"],
         help="fast = FLOP-reduced HPNN-Fast (accuracy parity shown in "
         "checkpoints/hpnn_fast/eval.json); flagship = reference-scale HPNN",
     )
@@ -246,9 +337,19 @@ def main():
         help="skip the training-throughput measurement that the default run "
         "embeds in the headline line's detail",
     )
+    ap.add_argument("--n3d", type=int, default=65, help="3-D grid size per axis")
+    ap.add_argument("--batch3d", type=int, default=16)
+    ap.add_argument("--iters3d", type=int, default=64,
+                    help="3-D chained scan length (65^3 solves are ~200x a "
+                    "256^2 solve, so 64 iters already amortizes dispatch)")
+    ap.add_argument("--skip-3d", action="store_true",
+                    help="skip the 3-D row the default run embeds in detail")
     args = ap.parse_args()
     if args.train:
         print(json.dumps(bench_train(args)))
+        return
+    if args.model == "fast3d":
+        print(json.dumps(bench_fast3d(args)))
         return
 
     from poisson_cnn_tpu.models import HPNN, HPNNConfig
@@ -278,43 +379,11 @@ def main():
         )
     params = jax.device_put(params, dev)
 
-    def fwd(params, rhs, dx):
-        return model.apply(params, rhs, dx)
-
-    flops_per_call = _graph_flops(fwd, params, rhs, dx)
-
     iters = args.iters
-
-    @jax.jit
-    def chained(params, rhs, dx):
-        def body(carry, _):
-            # iteration input depends on the previous output: un-elidable
-            r = rhs * (1.0 + 1e-12 * carry)
-            out = fwd(params, r, dx)
-            return jnp.mean(out.astype(jnp.float32)), None
-
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return carry
-
-    # compile + warmup (device_get forces real completion)
-    jax.device_get(chained(params, rhs, dx))
-    best_dt = float("inf")
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        jax.device_get(chained(params, rhs, dx))
-        best_dt = min(best_dt, time.perf_counter() - t0)
-
-    solves_per_sec = batch * iters / best_dt
-    implied_flops = flops_per_call * iters / best_dt
-    peak = _peak_flops(dev)
+    solves_per_sec, flops_per_call, implied_flops, peak = _time_chained_forward(
+        model, params, rhs, dx, iters, args.repeats, dev
+    )
     mfu = implied_flops / peak if flops_per_call else float("nan")
-
-    if flops_per_call and implied_flops > peak:
-        raise SystemExit(
-            f"BENCH INVALID: implied {implied_flops/1e12:.1f} TFLOP/s exceeds "
-            f"{dev.device_kind} peak {peak/1e12:.0f} TFLOP/s — the timing did "
-            "not measure real execution. Refusing to report."
-        )
 
     detail = {
         "batch": batch,
@@ -338,6 +407,18 @@ def main():
 
             traceback.print_exc(file=sys.stderr)
             detail["train_error"] = repr(e)
+    # 3-D perf row (VERDICT round-4 #2): driver-visible in the same line
+    if args.model == "fast" and not args.skip_3d:
+        try:
+            t3 = bench_fast3d(args, dev=dev)
+            detail["fast3d_solves_per_sec"] = t3["value"]
+            detail["fast3d_detail"] = t3["detail"]
+        except Exception as e:  # keep the headline even if the 3-D leg fails
+            import sys
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            detail["fast3d_error"] = repr(e)
 
     print(
         json.dumps(

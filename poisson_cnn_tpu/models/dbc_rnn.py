@@ -25,7 +25,13 @@ class DBCRNNConfig:
     hidden_size: int = 100
     n_layers: int = 6
     cell: str = "lstm"  # 'lstm' | 'gru'
-    strip_width: int = 16  # x-profiles emitted per boundary position
+    # x-profiles emitted per boundary position. The reference uses the last
+    # RNN layer's units (100, `Dirichlet_BC_RNN.py:29-31` + the upsample at
+    # :52-55) directly as this axis; 100 >= the largest trained H means the
+    # bicubic expansion loses nothing. A 16-wide strip caps rel-L2 ~0.38:
+    # exponential boundary-mode decay over 65-97 rows cannot be represented
+    # by 16 cubic knots (round-5 zoo diagnosis).
+    strip_width: int = 100
     resize_method: str = "bicubic"
     dtype: Optional[str] = None
 
