@@ -124,12 +124,17 @@ class MetaHPNN(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class MetaDBCNNConfig:
-    boundary_filters: Tuple[int, ...] = (4, 8, 16)
+    # sized toward the non-meta DBCNN's scale: the reference's metalearning
+    # variant is config-driven at the SAME capacity as the main model (it
+    # warns only above 27 sinh modes, Dirichlet_BC_NN_Metalearning.py:33-36).
+    # The original thin defaults (16 modes, 128/64 MLP) plateaued at 26%
+    # in-family while the 27-mode DBCNN reaches 7.9% (round-5 zoo diagnosis).
+    boundary_filters: Tuple[int, ...] = (8, 16, 24)
     boundary_kernel_sizes: Tuple[int, ...] = (11, 7, 5)
     spp_levels: Tuple = (2, 3, 5, 8)
-    mlp_units: Tuple[int, ...] = (128, 64)
-    n_modes: int = 16
-    final_filters: Tuple[int, ...] = (8, 4, 1)
+    mlp_units: Tuple[int, ...] = (256, 128)
+    n_modes: int = 24
+    final_filters: Tuple[int, ...] = (12, 8, 1)
     final_kernel_sizes: Tuple[int, ...] = (5, 3, 3)
     hidden_units: Tuple[int, ...] = (16, 32)
     activation: str = "leaky_relu"
