@@ -58,13 +58,19 @@ class DBCRNN(nn.Module):
         geom = jnp.concatenate([dx2, L / jnp.max(L, axis=1, keepdims=True)], -1)
         geom = jnp.broadcast_to(geom[:, None, :], (B, W, 4)).astype(dtype)
         h = jnp.concatenate([bc.astype(dtype), geom], axis=-1)
-        for _ in range(cfg.n_layers):
+        for i in range(cfg.n_layers):
             cell = (
                 nn.OptimizedLSTMCell(cfg.hidden_size, dtype=dtype)
                 if cfg.cell == "lstm"
                 else nn.GRUCell(cfg.hidden_size, dtype=dtype)
             )
-            h = nn.RNN(cell)(h)  # (B, W, hidden)
+            # alternate scan direction per layer: the Laplace field at column
+            # w depends on the WHOLE boundary, but a unidirectional scan (the
+            # reference's keras LSTM default, Dirichlet_BC_RNN.py:29-31) lets
+            # position w see only bc[0..w] — a hard accuracy cap on the left
+            # half of the domain (round-5 zoo diagnosis). Two alternating
+            # layers give every position full-boundary receptive field.
+            h = nn.RNN(cell, reverse=bool(i % 2), keep_order=True)(h)
         strip = nn.Dense(cfg.strip_width, dtype=dtype)(
             jnp.concatenate([h, geom], axis=-1)
         )  # (B, W, strip)

@@ -124,18 +124,19 @@ class MetaHPNN(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class MetaDBCNNConfig:
-    # sized toward the non-meta DBCNN's scale: the reference's metalearning
+    # sized to the non-meta DBCNN's scale: the reference's metalearning
     # variant is config-driven at the SAME capacity as the main model (it
     # warns only above 27 sinh modes, Dirichlet_BC_NN_Metalearning.py:33-36).
     # The original thin defaults (16 modes, 128/64 MLP) plateaued at 26%
-    # in-family while the 27-mode DBCNN reaches 7.9% (round-5 zoo diagnosis).
-    boundary_filters: Tuple[int, ...] = (8, 16, 24)
-    boundary_kernel_sizes: Tuple[int, ...] = (11, 7, 5)
-    spp_levels: Tuple = (2, 3, 5, 8)
-    mlp_units: Tuple[int, ...] = (256, 128)
-    n_modes: int = 24
-    final_filters: Tuple[int, ...] = (12, 8, 1)
-    final_kernel_sizes: Tuple[int, ...] = (5, 3, 3)
+    # in-family, a half-width bump (24 modes, 256/128) at 23%, while the
+    # 27-mode/512-256 DBCNN reaches 7.9% (round-5 zoo capacity ladder).
+    boundary_filters: Tuple[int, ...] = (4, 8, 16, 27)
+    boundary_kernel_sizes: Tuple[int, ...] = (15, 11, 7, 5)
+    spp_levels: Tuple = (2, 3, 5, 8, 15, 30)
+    mlp_units: Tuple[int, ...] = (512, 256)
+    n_modes: int = 27
+    final_filters: Tuple[int, ...] = (19, 11, 5, 1)
+    final_kernel_sizes: Tuple[int, ...] = (7, 5, 3, 3)
     hidden_units: Tuple[int, ...] = (16, 32)
     activation: str = "leaky_relu"
     dtype: Optional[str] = None

@@ -248,15 +248,18 @@ def main():
             model = _rhs_model_factories()[name]()
             metrics = train_rhs_model(name, model, args.steps, args.lr, out_dir)
         elif name == "dbcrnn":
-            metrics = train_boundary_model(
-                name, DBCRNN(DBCRNNConfig()), args.steps, args.lr, out_dir
-            )
+            model = DBCRNN(DBCRNNConfig())
+            metrics = train_boundary_model(name, model, args.steps, args.lr, out_dir)
         elif name == "meta_dbcnn":
-            metrics = train_boundary_model(
-                name, MetaDBCNN(MetaDBCNNConfig()), args.steps, args.lr, out_dir
-            )
+            model = MetaDBCNN(MetaDBCNNConfig())
+            metrics = train_boundary_model(name, model, args.steps, args.lr, out_dir)
         else:
             raise ValueError(name)
+        # record the exact model config next to the checkpoint (zoo defaults
+        # evolve across rounds; eval rows must stay reproducible)
+        import dataclasses as _dc
+        with open(os.path.join(out_dir, "config.json"), "w") as f:
+            json.dump(_dc.asdict(model.cfg), f, indent=2, default=str)
         with open(os.path.join(out_dir, "eval.json"), "w") as f:
             json.dump(metrics, f, indent=2)
         results[name] = metrics
