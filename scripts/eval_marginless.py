@@ -84,6 +84,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("ckpt_dir")
     p.add_argument("--out", default=None)
+    p.add_argument(
+        "--step", type=int, default=None,
+        help="evaluate a specific saved step instead of the latest (p90-aware "
+        "checkpoint selection sweeps every saved step and gates on mean AND "
+        "p90, round-4 VERDICT #6)",
+    )
     args = p.parse_args()
 
     with open(os.path.join(args.ckpt_dir, "config.json")) as f:
@@ -102,13 +108,16 @@ def main():
     steps = sorted(
         int(q.split("_")[1]) for q in os.listdir(args.ckpt_dir) if q.startswith("step_")
     )
+    step = args.step if args.step is not None else steps[-1]
+    if step not in steps:
+        raise SystemExit(f"step {step} not in saved checkpoints {steps}")
     params, _ = restore_checkpoint(
-        os.path.join(args.ckpt_dir, f"step_{steps[-1]}"), params
+        os.path.join(args.ckpt_dir, f"step_{step}"), params
     )
     params = jax.device_put(params, jax.devices()[0])
     apply_fn = jax.jit(lambda rhs, dx: model.apply(params, rhs, dx))
 
-    rows = {"ckpt": args.ckpt_dir, "step": steps[-1], "force_pad_margin": False}
+    rows = {"ckpt": args.ckpt_dir, "step": step, "force_pad_margin": False}
     for name, shapes in SHAPE_SETS.items():
         rows[name] = evaluate_hpnn(apply_fn, _cfg_for(name), grid_shapes=shapes)
         print(f"{name}: {rows[name]['rel_l2_mean']:.4f}", flush=True)

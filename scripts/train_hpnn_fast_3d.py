@@ -146,7 +146,23 @@ def main():
     p.add_argument("--out", default="/root/repo/checkpoints/hpnn_fast_3d")
     args = p.parse_args()
 
-    model = HPNNFast(MODEL_WIDE if args.model == "wide" else MODEL)
+    cfg = MODEL_WIDE if args.model == "wide" else MODEL
+    ref_ckpt = args.continue_from or args.eval_only
+    if ref_ckpt:
+        # continuation/eval runs must rebuild the checkpoint's own
+        # architecture, not the --model flag's (a mismatch aborts on a
+        # ScopeParamShapeError at restore time)
+        candidate = os.path.join(
+            os.path.dirname(os.path.abspath(ref_ckpt)), "config.json")
+        if os.path.exists(candidate):
+            with open(candidate) as f:
+                d = json.load(f)
+            for k in ("scale_filters", "dx_mlp_units"):
+                if k in d:
+                    d[k] = tuple(d[k])
+            cfg = HPNNFastConfig(**d)
+            print(f"using config from checkpoint dir: {candidate}")
+    model = HPNNFast(cfg)
     rng = np.random.default_rng(args.seed)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):

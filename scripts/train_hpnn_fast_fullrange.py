@@ -172,8 +172,20 @@ def main():
     args = p.parse_args()
 
     global MODEL
-    if args.config_json:
-        with open(args.config_json) as f:
+    config_json = args.config_json
+    if config_json is None:
+        # continuation/eval runs must rebuild the checkpoint's own
+        # architecture, not the script default (a mismatch aborts on a
+        # ScopeParamShapeError / tree-key mismatch at restore time)
+        ref_ckpt = args.continue_from or args.eval_only
+        if ref_ckpt:
+            candidate = os.path.join(
+                os.path.dirname(os.path.abspath(ref_ckpt)), "config.json")
+            if os.path.exists(candidate):
+                config_json = candidate
+                print(f"using config from checkpoint dir: {candidate}")
+    if config_json:
+        with open(config_json) as f:
             d = json.load(f)
         for k in ("scale_filters", "dx_mlp_units"):
             if k in d:
