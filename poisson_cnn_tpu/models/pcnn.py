@@ -53,14 +53,29 @@ def coarse_anchor_amplitude(
     Shared by PCNN and the production `api.PoissonSolver` (HPNN-only path).
     Estimates the amplitude scalar to ~1-2% where Laplacian-matching
     estimators are 25x off (dominated by 1/h^2-amplified CNN output noise).
-    Rank-agnostic (1/2/3-D): the anchor grid is anchor_resolution^nd."""
+    Rank-agnostic (1/2/3-D): the anchor grid is anchor_resolution^nd.
+
+    The rhs is restricted by FULL WEIGHTING (the row-normalized adjoint of the
+    bilinear prolongator), not bilinear subsampling: subsampling a rough rhs
+    (coarse-noise near the grid scale) aliases, and the aliased anchor solve
+    mis-estimated amplitudes by up to 3.6x WITH SIGN FLIPS on 8% of the
+    out-of-family protocol's draws; full weighting low-passes before
+    decimating and holds every draw within +/-9% (diagnosed round 5,
+    /tmp-level study committed in checkpoints/anchor_restriction_fix.json)."""
     from ..ops import resize_align_corners
+    from ..ops.resize import resize_matrix
     from ..solvers import poisson_solve_dirichlet, poisson_solve_neumann_vertex
 
     B = u_raw.shape[0]
     spatial = rhs_n.shape[1:-1]
     nc = int(anchor_resolution)
-    rhs_c = resize_align_corners(rhs_n, (nc,) * len(spatial), "bilinear")
+    rhs_c = rhs_n
+    for k in range(len(spatial)):
+        P = jnp.asarray(
+            resize_matrix(nc, rhs_c.shape[1 + k], "bilinear"), dtype=rhs_c.dtype
+        )
+        R = P.T / jnp.sum(P.T, axis=1, keepdims=True)
+        rhs_c = jnp.moveaxis(jnp.tensordot(R, rhs_c, axes=[[1], [1 + k]]), 0, 1 + k)
     dx_c = dx2 * (jnp.array([s - 1 for s in spatial], dtype=dx2.dtype) / (nc - 1))
     ur_c = resize_align_corners(u_raw, (nc,) * len(spatial), "bilinear")
     if bc_type == "neumann":
