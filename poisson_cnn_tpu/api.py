@@ -10,6 +10,13 @@ pieces). `PoissonSolver` packages the whole inference path behind one call:
     u = solver.solve(rhs, dx)                      # homogeneous Dirichlet
     u = solver.solve(rhs, dx, boundaries={...})    # nonzero Dirichlet edges
     u_exact = solver.solve_exact(rhs, dx)          # spectral oracle, same API
+    solver = PoissonSolver(refine_iterations=4)    # + k-sweep CG polish
+
+`refine_iterations=k` appends k conjugate-gradient sweeps of residual
+correction (homogeneous-Dirichlet error equation, boundary preserved exactly)
+to either route. The CNN + anchor start is within a few % of the solution, so
+a handful of sweeps collapses the out-of-family error tail where a zero start
+needs hundreds (study: checkpoints/refine_option.json).
 
 Semantics:
   * `rhs` is the PHYSICAL right-hand side of lap(u) = rhs on a rectangular
@@ -95,11 +102,17 @@ class PoissonSolver:
         jacobi_iterations: int = 0,
         anchor_resolution: int = 17,
         bc_type: str = "dirichlet",
+        refine_iterations: int = 0,
     ):
         from .train.loop import restore_checkpoint
 
         if bc_type not in ("dirichlet", "neumann"):
             raise ValueError(f"bc_type must be 'dirichlet' or 'neumann', got {bc_type!r}")
+        if refine_iterations and bc_type == "neumann":
+            raise ValueError(
+                "refine_iterations is Dirichlet-only (residual-correction CG "
+                "on the homogeneous-Dirichlet error equation)"
+            )
         self.bc_type = bc_type
         default_hpnn = "hpnn_fast" if bc_type == "dirichlet" else "hpnn_neumann"
         self.hpnn_dir = hpnn_dir or os.path.join(_REPO_ROOT, "checkpoints", default_hpnn)
@@ -109,6 +122,7 @@ class PoissonSolver:
         )
         self.jacobi_iterations = int(jacobi_iterations)
         self.anchor_resolution = int(anchor_resolution)
+        self.refine_iterations = int(refine_iterations)
 
         if bc_type == "neumann":
             # vertex-grid Neumann HPNN (the reference's deployed NS solver
@@ -224,12 +238,29 @@ class PoissonSolver:
         return v
 
     # -- solve paths ----------------------------------------------------------
+    @staticmethod
+    def _refine(u, rhs, dx2, k: int):
+        """k CG iterations of residual correction: solve lap(e) = rhs - lap(u)
+        on the homogeneous-Dirichlet error equation and add e back. Preserves
+        the boundary of u EXACTLY (e has a zero border), so it serves both the
+        homogeneous route and the nonzero-edge superposition route. Kills the
+        CNN's high-frequency error tail on rough out-of-family rhs (the p90
+        tail study, checkpoints/refine_option.json): the anchor-scaled start
+        is within a few % of the solution, so a handful of CG sweeps beats
+        hundreds from a zero start."""
+        from .solvers import laplacian_dirichlet
+        from .solvers.iterative import conjugate_gradient
+
+        r = rhs - laplacian_dirichlet(u, dx2)
+        return u + conjugate_gradient(r, dx2, n_iterations=k)
+
     def _homogeneous_fn(self, shape, nd: int):
         """Jitted HPNN-only solve with physical-amplitude restoration."""
-        key = ("h", shape, self.jacobi_iterations)
+        key = ("h", shape, self.jacobi_iterations, self.refine_iterations)
         if key not in self._cache:
             hpnn = self._hpnn if nd == 2 else self._hpnn3d
             nc, n_jac = self.anchor_resolution, self.jacobi_iterations
+            n_ref = self.refine_iterations
             bc = self.bc_type
 
             @jax.jit
@@ -245,19 +276,25 @@ class PoissonSolver:
                     from .solvers import jacobi_smooth
 
                     u = jacobi_smooth(u, rhs, dx2, n_jac)
+                if n_ref > 0:
+                    u = PoissonSolver._refine(u, rhs, dx2, n_ref)
                 return u
 
             self._cache[key] = fn
         return self._cache[key]
 
     def _pcnn_fn(self, shape):
-        key = ("p", shape, self.jacobi_iterations)
+        key = ("p", shape, self.jacobi_iterations, self.refine_iterations)
         if key not in self._cache:
             model = self._dbcnn
+            n_ref = self.refine_iterations
 
             @jax.jit
             def fn(params, rhs, left, top, right, bottom, dx2):
-                return model.apply(params, rhs, left, top, right, bottom, dx2)
+                u = model.apply(params, rhs, left, top, right, bottom, dx2)
+                if n_ref > 0:
+                    u = PoissonSolver._refine(u, rhs, dx2, n_ref)
+                return u
 
             self._cache[key] = fn
         return self._cache[key]

@@ -157,3 +157,61 @@ def test_neumann_route_rejects_boundaries_and_3d(neumann_solver):
         )
     with pytest.raises(ValueError, match="2-D"):
         neumann_solver.solve(jnp.zeros((1, 17, 17, 17, 1)), jnp.full((1, 3), 1e-2))
+
+
+def test_refine_iterations_cuts_out_of_family_error(solver):
+    """refine_iterations=k (anchor-started CG residual correction) must beat
+    the raw route on rough coarse-noise rhs — the round-5 p90-tail fix
+    (study: checkpoints/refine_option.json)."""
+    from poisson_cnn_tpu.data.numerical import _random_coarse_noise_nd
+    from poisson_cnn_tpu.solvers import laplacian_dirichlet
+
+    rhs = _random_coarse_noise_nd(jax.random.PRNGKey(5), 4, (65, 65), (0.5, 1.5))
+    dx = jnp.full((4, 2), 1.5e-2)
+    truth = poisson_solve_dirichlet(rhs, dx, mode="fd")
+    refined_solver = PoissonSolver(
+        hpnn_dir=solver.hpnn_dir, dbcnn_dir=solver.dbcnn_dir, refine_iterations=8
+    )
+    err_raw = _rel_l2(solver.solve(rhs, dx), truth)
+    err_ref = _rel_l2(refined_solver.solve(rhs, dx), truth)
+    assert err_ref.mean() < err_raw.mean()
+    assert err_ref.mean() < 0.06, (err_raw.mean(), err_ref.mean())
+    # the refined field also satisfies the PDE much better
+    def resid(u):
+        r = np.asarray(rhs - laplacian_dirichlet(u, dx))[:, 1:-1, 1:-1]
+        return np.linalg.norm(r.reshape(4, -1), axis=1)
+    assert resid(refined_solver.solve(rhs, dx)).mean() < 0.5 * resid(
+        solver.solve(rhs, dx)
+    ).mean()
+
+
+def test_refine_preserves_nonzero_boundaries(solver):
+    """On the superposition route the CG correction solves the
+    homogeneous-Dirichlet ERROR equation, so the imposed edge values must
+    survive bit-exactly."""
+    H = W = 49
+    left = jnp.sin(jnp.linspace(0, jnp.pi, W))[None, :, None]
+    rhs = jnp.zeros((1, H, W, 1))
+    dx = jnp.full((1, 2), 1e-2)
+    refined_solver = PoissonSolver(
+        hpnn_dir=solver.hpnn_dir, dbcnn_dir=solver.dbcnn_dir, refine_iterations=6
+    )
+    u0 = solver.solve(rhs, dx, boundaries={"left": left})
+    u1 = refined_solver.solve(rhs, dx, boundaries={"left": left})
+    np.testing.assert_array_equal(np.asarray(u1[:, 0, :, :]), np.asarray(u0[:, 0, :, :]))
+    np.testing.assert_array_equal(np.asarray(u1[:, -1, :, :]), np.asarray(u0[:, -1, :, :]))
+    np.testing.assert_array_equal(np.asarray(u1[:, :, 0, :]), np.asarray(u0[:, :, 0, :]))
+    np.testing.assert_array_equal(np.asarray(u1[:, :, -1, :]), np.asarray(u0[:, :, -1, :]))
+    # and the interior residual of the Laplace problem improves
+    from poisson_cnn_tpu.solvers import laplacian_dirichlet
+
+    def interior_resid(u):
+        full = -np.asarray(laplacian_dirichlet(u, dx))[:, 1:-1, 1:-1]
+        return np.linalg.norm(full.reshape(1, -1), axis=1)
+
+    assert interior_resid(u1) < interior_resid(u0)
+
+
+def test_refine_rejected_for_neumann():
+    with pytest.raises(ValueError, match="Dirichlet-only"):
+        PoissonSolver(bc_type="neumann", refine_iterations=4)
