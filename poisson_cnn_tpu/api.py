@@ -35,7 +35,7 @@ Semantics:
 
 Artifacts default to the in-repo bench/go-to checkpoints
 (`checkpoints/hpnn_fast`, `checkpoints/dbcnn_fast`,
-`checkpoints/hpnn_fast_3d_v6`); override with explicit directories holding
+`checkpoints/hpnn_fast_3d_v7`); override with explicit directories holding
 `config.json` + `step_N/`.
 """
 
@@ -118,7 +118,7 @@ class PoissonSolver:
         self.hpnn_dir = hpnn_dir or os.path.join(_REPO_ROOT, "checkpoints", default_hpnn)
         self.dbcnn_dir = dbcnn_dir or os.path.join(_REPO_ROOT, "checkpoints", "dbcnn_fast")
         self.hpnn3d_dir = hpnn3d_dir or os.path.join(
-            _REPO_ROOT, "checkpoints", "hpnn_fast_3d_v6"
+            _REPO_ROOT, "checkpoints", "hpnn_fast_3d_v7"
         )
         self.jacobi_iterations = int(jacobi_iterations)
         self.anchor_resolution = int(anchor_resolution)
